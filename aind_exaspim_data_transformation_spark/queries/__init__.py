@@ -1,0 +1,25 @@
+"""Declared query surface — drives ``__spark_entry__.py``.
+
+Every operator claimed in SURVEY.md §2 has a named query here, registered
+with :func:`registry.query`; most carry an equivalent DuckDB oracle SQL
+string so the driver's correctness harness can hash-compare results.
+
+Import side effects register the queries; keep the module list exhaustive.
+"""
+
+from . import (  # noqa: F401  (import for registration side effects)
+    dedup_q,
+    events_q,
+    grid_q,
+    multimodal_q,
+    relational,
+    scalars,
+    setops,
+    similarity_q,
+    streaming_q,
+    text_q,
+    windows,
+)
+from .registry import ORACLES, QUERIES, query
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,78 @@
+"""Shared expression helpers for oracle-exact aggregates.
+
+All money/measure columns in the star schema carry at most 2 decimals
+(verified against the generated data), so casting DOUBLE -> DECIMAL(12,2)
+is lossless, decimal aggregation is exact, and the final DECIMAL -> DOUBLE
+cast is deterministic — Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,2)"
+
+
+def dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: str | Column, alias: str) -> Column:
+    """Exact decimal sum emitted as double."""
+    return F.sum(dec(c)).cast("double").alias(alias)
+
+
+def davg(c: str | Column, alias: str) -> Column:
+    """Exact-sum / count in double; bit-deterministic."""
+    return (F.sum(dec(c)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal, scale 4."""
+    one = F.lit(1).cast(DEC)
+    return (dec("l_extendedprice") * (one - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+def charge() -> Column:
+    """disc_price * (1 + l_tax), exact decimal, scale 6."""
+    one = F.lit(1).cast(DEC)
+    return disc_price() * (one + dec("l_tax"))
+
+
+def fmt_ts(c: str | Column, alias: str) -> Column:
+    """Engine-neutral timestamp rendering (second granularity)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+def fmt_date(c: str | Column, alias: str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.date_format(col, "yyyy-MM-dd").alias(alias)
+
+
+# DuckDB-side fragments mirroring the helpers above.
+SQL_DEC = "DECIMAL(12,2)"
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*) AS {alias}"
+    )
+
+
+SQL_DISC_PRICE = (
+    f"CAST(CAST(l_extendedprice AS {SQL_DEC})"
+    f" * (CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC}))"
+    " AS DECIMAL(18,4))"
+)
+SQL_CHARGE = (
+    f"({SQL_DISC_PRICE} * (CAST(1 AS {SQL_DEC}) + CAST(l_tax AS {SQL_DEC})))"
+)

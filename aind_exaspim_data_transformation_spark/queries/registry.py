@@ -1,0 +1,42 @@
+"""Query registry: name -> (callable(spark, sf_dir) -> DataFrame, oracle SQL).
+
+The driver contract (``__spark_entry__``) needs two dicts; modules register
+into these at import time via the :func:`query` decorator.
+
+Determinism rules every registered query must obey (so order-insensitive
+value hashes match the DuckDB oracle):
+
+- Exact arithmetic for aggregates: sums go through ``DECIMAL(18,2)`` (all
+  money columns carry <=2 decimals, so the cast is lossless), then cast to
+  DOUBLE at the end. Ratios/divisions happen in double on identical inputs,
+  which is bit-deterministic.
+- Any LIMIT/top-k carries a total order with a unique tie-break key.
+- Timestamps are emitted as formatted strings (engine-neutral).
+- No nondeterministic functions (rand, first without order, mode on ties).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is DuckDB-runnable ANSI SQL or None
+    (None => the driver records a weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,664 @@
+"""Core relational surface: scans, filters, joins, aggregations (SURVEY §2B).
+
+TPC-H-flavoured queries over the synthetic star schema. Scale notes:
+
+- Dimension tables (region/nation/supplier) are explicitly ``broadcast()`` —
+  at 100 TB the fact tables shuffle only for fact-fact joins.
+- Aggregations use hash aggregation with map-side partial aggregation
+  (automatic in Spark); exact decimal sums avoid float nondeterminism.
+- Top-k uses orderBy+limit which Spark executes as TakeOrdered (no global
+  sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ._helpers import (
+    DEC,
+    SQL_CHARGE,
+    SQL_DEC,
+    SQL_DISC_PRICE,
+    charge,
+    davg,
+    dec,
+    disc_price,
+    dsum,
+    fmt_date,
+    sql_davg,
+    sql_dsum,
+)
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: filter -> groupBy -> rich agg (partial+final).
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum("l_quantity", "sum_qty")},
+  {sql_dsum("l_extendedprice", "sum_base_price")},
+  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+  {sql_davg("l_quantity", "avg_qty")},
+  {sql_davg("l_extendedprice", "avg_price")},
+  {sql_davg("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(charge()).cast("double").alias("sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join + top-k with deterministic order.
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey,
+  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            fmt_date("o_orderdate", "orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4-style order priority count: left-semi join (EXISTS).
+# --------------------------------------------------------------------------
+@query(
+    "q04_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5-style local supplier volume: 6-way join, broadcast dims.
+# --------------------------------------------------------------------------
+@query(
+    "q05_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6-style revenue forecast: pushed-down filter + global agg.
+# --------------------------------------------------------------------------
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})
+                 * CAST(l_discount AS {SQL_DEC})) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10-style returned items: join + top-k customers by lost revenue.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+  n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Global statistics: count / count_distinct / min / max / variance family.
+# Variance & stddev computed from exact decimal power sums => deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "q_global_stats",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(DISTINCT l_orderkey) AS n_orders,
+    COUNT(DISTINCT l_partkey) AS n_parts,
+    CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+    CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq
+  FROM lineitem)
+SELECT n_rows, n_orders, n_parts, min_price, max_price,
+  sum_price / n_rows AS avg_price,
+  sqrt((sum_sq - sum_price * sum_price / n_rows) / (n_rows - 1)) AS std_price,
+  (sum_sq - sum_price * sum_price / n_rows) / (n_rows - 1) AS var_price
+FROM s
+""",
+)
+def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = dec("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.min(p).cast("double").alias("min_price"),
+        F.max(p).cast("double").alias("max_price"),
+        F.sum(p).cast("double").alias("sum_price"),
+        F.sum(p * p).cast("double").alias("sum_sq"),
+    )
+    var = (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / F.col("n_rows")) / (
+        F.col("n_rows") - 1
+    )
+    return s.select(
+        "n_rows",
+        "n_orders",
+        "n_parts",
+        "min_price",
+        "max_price",
+        (F.col("sum_price") / F.col("n_rows")).alias("avg_price"),
+        F.sqrt(var).alias("std_price"),
+        var.alias("var_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation via exact cross-moments (deterministic corr).
+# --------------------------------------------------------------------------
+@query(
+    "q_correlation",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem)
+SELECT n,
+  (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+  (sxy - sx * sy / n)
+    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+FROM s
+""",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "n",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact median / interpolated percentiles on 2-decimal data.
+# --------------------------------------------------------------------------
+@query(
+    "q_percentiles",
+    oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP over region -> nation (hierarchical subtotals).
+# --------------------------------------------------------------------------
+@query(
+    "q_rollup_region_nation",
+    oracle="""
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       COUNT(c_custkey) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE over returnflag x linestatus (all grouping combinations).
+# --------------------------------------------------------------------------
+@query(
+    "q_cube_flag_status",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS via the SQL entry point (Catalyst parses + plans).
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+@query("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# PIVOT: market segment x order status matrix.
+# --------------------------------------------------------------------------
+@query(
+    "q_pivot_segment_status",
+    oracle="""
+SELECT c_mktsegment,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS total_F,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS total_O,
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS total_P
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    pv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("total"),
+        )
+    )
+    return pv.select(
+        "c_mktsegment",
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+        F.coalesce("P_n", F.lit(0)).alias("n_P"),
+        F.coalesce(F.col("F_total").cast("double"), F.lit(0.0)).alias("total_F"),
+        F.coalesce(F.col("O_total").cast("double"), F.lit(0.0)).alias("total_O"),
+        F.coalesce(F.col("P_total").cast("double"), F.lit(0.0)).alias("total_P"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Full outer join between two aggregates (null-completing both sides).
+# --------------------------------------------------------------------------
+@query(
+    "q_full_outer_nation_activity",
+    oracle="""
+WITH co AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey),
+so AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(co.nk, so.nk) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM co FULL OUTER JOIN so ON co.nk = so.nk
+""",
+)
+def q_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    co = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    so = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return co.join(so, co.nk == so.nk, "full_outer").select(
+        F.coalesce(co.nk, so.nk).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join: customers with no orders.
+# --------------------------------------------------------------------------
+@query(
+    "q_anti_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q_anti_customers_without_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Non-equi band join (broadcast nested loop): parts into price bands.
+# --------------------------------------------------------------------------
+@query(
+    "q_band_join_price",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 905.0), ('mid', 905.0, 912.0), ('high', 912.0, 1000.0))
+SELECT band, COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+)
+def q_band_join_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 905.0), ("mid", 905.0, 912.0), ("high", 912.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice", "total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross join (small x small) — cartesian product surface.
+# --------------------------------------------------------------------------
+@query(
+    "q_cross_region_status",
+    oracle="""
+SELECT r_name, s.o_orderstatus AS orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+""",
+)
+def q_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    status = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("orderstatus"))
+        .distinct()
+    )
+    return region.select("r_name").crossJoin(status)
+
+
+# --------------------------------------------------------------------------
+# Right outer join: all parts vs. lineitem usage (nulls preserved on right).
+# --------------------------------------------------------------------------
+@query(
+    "q_right_join_part_usage",
+    oracle="""
+SELECT p_partkey, p_name,
+  COUNT(l_orderkey) AS n_uses,
+  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DOUBLE) AS qty
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name
+""",
+)
+def q_right_join_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right")
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count("l_orderkey").alias("n_uses"),
+            F.coalesce(F.sum(dec("l_quantity")), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("qty"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Window-function surface: ranking, analytic, framed aggregates (SURVEY §2B).
+
+Window partitioning shuffles once on the partition key; all functions over
+the same (partitionBy, orderBy) share a single sort — the queries below are
+written so each uses one window spec (one exchange + one sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ._helpers import dec, fmt_date
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Ranking family over customers per nation.
+# --------------------------------------------------------------------------
+@query(
+    "q_window_ranking",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  round(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic family: lag/lead/first/last over each customer's order history.
+# --------------------------------------------------------------------------
+@query(
+    "q_window_analytic",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER w AS DOUBLE) AS prev_price,
+  CAST(LEAD(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER w AS DOUBLE) AS next_price,
+  CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER w AS DOUBLE) AS first_price,
+  CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS DOUBLE) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = dec("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        fmt_date("o_orderdate", "orderdate"),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+        F.lead(price).over(w).cast("double").alias("next_price"),
+        F.first(price).over(w).cast("double").alias("first_price"),
+        F.last(price).over(wfull).cast("double").alias("last_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Framed aggregates: running total (ROWS) + moving average (3-row frame).
+# --------------------------------------------------------------------------
+@query(
+    "q_window_frames",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_total,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_sum,
+  COUNT(*) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS window3_n
+FROM orders
+""",
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
+    price = dec("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(price).over(run).cast("double").alias("running_total"),
+        F.sum(price).over(mov).cast("double").alias("window3_sum"),
+        F.count(F.lit(1)).over(mov).alias("window3_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame: orders within +/- value range of each order's price.
+# --------------------------------------------------------------------------
+@query(
+    "q_window_range_frame",
+    oracle="""
+SELECT o_orderkey,
+  COUNT(*) OVER
+    (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+    AS n_similar_price
+FROM orders
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return orders.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group via row_number filter (classic Spark top-k pattern).
+# --------------------------------------------------------------------------
+@query(
+    "q_topk_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+""",
+)
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            dec("o_totalprice").cast("double").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window + join: each order vs. its customer's average (exact decimal mean).
+# --------------------------------------------------------------------------
+@query(
+    "q_window_vs_group_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+       (PARTITION BY o_custkey) AS DOUBLE)
+    / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg,
+  CASE WHEN o_totalprice > CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+       (PARTITION BY o_custkey) AS DOUBLE) / COUNT(*) OVER (PARTITION BY o_custkey)
+       THEN 1 ELSE 0 END AS above_avg
+FROM orders
+""",
+)
+def q_window_vs_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = F.sum(dec("o_totalprice")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        cust_avg.alias("cust_avg"),
+        F.when(F.col("o_totalprice") > cust_avg, 1).otherwise(0).alias(
+            "above_avg"
+        ),
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100 TB design point and scaled down by env for
+local testing: AQE handles runtime re-planning (skew joins, partition
+coalescing), Arrow makes the Python UDF boundary vectorized, and shuffle
+partitions default to the local core count (a real cluster deployment would
+set ``spark.sql.shuffle.partitions`` ~ 2-3x total executor cores, or rely on
+AQE's coalescing from a high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "exaspim-spark-engine",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster the master/deploy settings come from spark-submit;
+    everything here is master-agnostic except the local[] fallback.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching. Essential at scale.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow across the JVM <-> Python boundary (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamp semantics for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Shuffle sizing: local default = core count; AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        # Broadcast threshold: dims like region/nation/supplier must
+        # broadcast; 64 MB is a sane cluster default (driver memory permits).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scans: vectorized reader + pushdown are on by default;
+        # maxPartitionBytes keeps scan tasks ~128MB which holds at 100 TB.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

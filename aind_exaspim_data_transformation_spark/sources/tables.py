@@ -1,0 +1,59 @@
+"""Parquet table loaders for the synthetic star schema (TESTDATA.md).
+
+The scan path is the foundation of the 100 TB story: ``spark.read.parquet``
+gives vectorized columnar scans with predicate pushdown and column pruning
+for free, and ``spark.sql.files.maxPartitionBytes`` splits large files into
+~128 MB tasks. Nothing here ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Parquet scan => pushdown + pruning via Catalyst.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which the Spark parquet
+    reader rejects; read nanos as long and truncate to micros (identical
+    to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast semantics).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the spark.sql() entry point."""
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB, then
+compares row count, column names, and an order-insensitive value hash —
+strictly, so any engine-level nondeterminism (float summation order,
+timestamp rendering, decimal types) surfaces here before the driver sees it.
+
+Usage: python tools/parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+
+def _norm_cell(v):
+    """Engine-neutral canonical form of one value."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        # repr keeps full double precision; mismatch in any ulp is flagged.
+        return repr(v)
+    if isinstance(v, (bool,)):
+        return str(int(v))
+    if pd.isna(v):
+        return "NULL"
+    return str(v)
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_cell(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    return sorted(rows)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    oracle_pdf = con.execute(oracle_sql).df()
+    spark_pdf = spark_df.toPandas()
+
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return False, (
+            f"schema mismatch: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}"
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, f"rowcount mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    s_rows = canonical_rows(spark_pdf)
+    o_rows = canonical_rows(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            (a, b) for a, b in zip(s_rows, o_rows) if a != b
+        ][:3]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"ok ({len(s_rows)} rows)"
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from aind_exaspim_data_transformation_spark.queries import ORACLES, QUERIES
+    from aind_exaspim_data_transformation_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(QUERIES)
+    spark = get_spark("parity-check", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failed = []
+    for name in names:
+        fn = QUERIES[name]
+        try:
+            df = fn(spark, sf_dir)
+            if name not in ORACLES:
+                n = df.count()
+                print(f"  [rows-only] {name}: {n} rows")
+                continue
+            ok, msg = compare(df, ORACLES[name], sf_dir)
+            status = "PASS" if ok else "FAIL"
+            print(f"  [{status}] {name}: {msg}")
+            if not ok:
+                failed.append(name)
+        except Exception:
+            print(f"  [ERROR] {name}:")
+            traceback.print_exc()
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if failed:
+        print("failed:", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
