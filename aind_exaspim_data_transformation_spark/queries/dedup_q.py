@@ -1,1 +1,307 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over ``documents`` (north-star surface).
+
+Exact dedup (hash-groupBy), MinHash + LSH banding (shingle -> minhash ->
+band -> bucket join), SimHash, and n-gram Jaccard — every step expressed
+with built-in functions on a shared deterministic hash (md5), so the DuckDB
+oracle computes the identical signatures.
+
+Scale design: all pair generation goes through bucket joins (LSH bands or
+blocking keys), never an unbounded cross join; the shuffle key is always
+the bucket, and per-bucket fan-out is bounded by the band width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+N_HASHES = 8  # minhash permutations
+N_BANDS = 4  # LSH bands (2 rows per band)
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized text, keep min doc_id.
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(text) AS fingerprint,
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Keyed dedup: keep the first document per (lang, source) bucket.
+# --------------------------------------------------------------------------
+@query(
+    "q_dedup_by_key",
+    oracle="""
+SELECT lang, source, doc_id, n_chars
+FROM (SELECT lang, source, doc_id, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+""",
+)
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", "source", "doc_id", "n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures: unigram shingles, 8 salted-md5 "permutations".
+# sig_i(doc) = min over distinct words of md5('<i>|' || word).
+# --------------------------------------------------------------------------
+def _minhash_sig_sql() -> str:
+    sigs = ",\n  ".join(
+        f"MIN(md5(concat('{i}|', word))) AS sig_{i}" for i in range(N_HASHES)
+    )
+    return f"""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents)
+SELECT doc_id,
+  {sigs}
+FROM tokens
+GROUP BY doc_id
+"""
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("word")))).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    return tokens.groupBy("doc_id").agg(*aggs)
+
+
+@query("q_minhash_signatures", oracle=_minhash_sig_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH candidate pairs: band the signature (4 bands x 2 rows),
+# bucket-join per band, dedupe pairs, estimate Jaccard from the full
+# signature, threshold at 0.5.
+# --------------------------------------------------------------------------
+def _lsh_pairs_sql() -> str:
+    sig_cte = _minhash_sig_sql().strip()
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat(sig_{2 * b}, sig_{2 * b + 1})) AS band_key FROM sigs"
+        for b in range(N_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH sigs AS ({sig_cte}),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+  CAST(({est}) AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM cand
+JOIN sigs a ON cand.doc_a = a.doc_id
+JOIN sigs b ON cand.doc_b = b.doc_id
+WHERE ({est}) >= {N_HASHES // 2}
+"""
+
+
+@query("q_minhash_lsh_pairs", oracle=_lsh_pairs_sql())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_signatures(spark, sf_dir).cache()
+    bands = None
+    for b in range(N_BANDS):
+        band = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
+                "band_key"
+            ),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sigs.alias("a")
+    b_ = sigs.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b_, cand.doc_b == F.col("b.doc_id"))
+        .where(matches >= N_HASHES // 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit signature from salted-md5 token hashes. Each bit's +/-1
+# contribution is a portable CASE over one hex nibble of md5(word), so
+# Spark (via F.expr) and DuckDB compute identical bits.
+# --------------------------------------------------------------------------
+def _bit_contrib(b: int) -> str:
+    pos = 1 + b // 4  # hex char within md5
+    k = b % 4  # bit within the nibble
+    whens = " ".join(
+        f"WHEN '{c}' THEN {1 if (int(c, 16) >> k) & 1 else -1}"
+        for c in "0123456789abcdef"
+    )
+    return f"(CASE substr(md5(word), {pos}, 1) {whens} END)"
+
+
+def _simhash_sql() -> str:
+    sums = ",\n  ".join(
+        f"SUM({_bit_contrib(b)}) AS s{b}" for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM tokens GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash
+FROM sums
+"""
+
+
+@query("q_simhash", oracle=_simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    sums = tokens.groupBy("doc_id").agg(
+        *[F.sum(F.expr(_bit_contrib(b))).alias(f"s{b}") for b in range(16)]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0) for b in range(16)
+    )
+    return sums.select("doc_id", simhash.alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs with (lang, source) blocking:
+# inverted-index join on 2-gram shingles, then |A∩B| / (|A|+|B|-|A∩B|).
+# --------------------------------------------------------------------------
+@query(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, lang, source,
+    unnest(list_transform(
+      range(1, len(string_split(text, ' '))),
+      i -> concat(string_split(text, ' ')[i], ' ',
+                  string_split(text, ' ')[i + 1]))) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle
+    AND a.lang = b.lang AND a.source = b.source
+    AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 8) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.10
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("ord", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    shingles = (
+        words.withColumn("nxt", F.lead("w").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(" ", "w", "nxt").alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    return (
+        common.join(sa, common.doc_a == F.col("sa.doc_id"))
+        .join(sb, common.doc_b == F.col("sb.doc_id"))
+        .where(jac >= 0.10)
+        .select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard"))
+    )

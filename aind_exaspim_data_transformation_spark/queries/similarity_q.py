@@ -1,1 +1,348 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (north-star surface).
+
+Brute-force cosine top-k as the correctness baseline, plus the scale path:
+random-hyperplane LSH bucketing (deterministic planes derived from md5) and
+bucket-restricted ANN. Dot products use double-precision folds; similarity
+is rounded to 6 decimals before ranking so both engines pick identical
+top-k sets.
+
+Scale notes: brute-force is a broadcast join of the (tiny) query set
+against the candidate table — O(Q x N) map-side, no shuffle of the big
+side. The LSH path shuffles once on the bucket key; per-bucket fan-out is
+N/256 in expectation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+N_PLANES = 8
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential-fold double dot product of two float vectors."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-5 for query vectors (vec_id < 3).
+# --------------------------------------------------------------------------
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 3),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT qid, cid,
+    round({_SQL_DOT.format(a="qe", b="ce")}
+      / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6)
+      AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE qid <> cid)
+SELECT qid, cid, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+@query("q_knn_bruteforce", oracle=_KNN_ORACLE)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "cid", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vector norms / projections (elementwise vector math surface).
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_norms",
+    oracle=f"""
+SELECT vec_id, label,
+  round({_SQL_NORM.format(a="embedding")}, 6) AS l2_norm,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+  len(embedding) AS dim
+FROM embeddings
+""",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(_norm("embedding"), 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_component"
+        ),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids (posexplode + per-dimension mean) — the reduce step
+# of k-means / IVF coarse quantization.
+# --------------------------------------------------------------------------
+@query(
+    "q_label_centroids",
+    oracle="""
+SELECT label, i AS dim,
+  round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("v"))
+    return exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("centroid")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH bucketing: 8 deterministic md5-derived hyperplanes -> 256 buckets.
+# plane component in {-1, +1} from the low bit of a md5 hex nibble.
+# --------------------------------------------------------------------------
+_PLANE_COMP = (
+    "(CASE WHEN substr(md5(concat(CAST(p AS STRING), ',', "
+    "CAST(i AS STRING))), 1, 1) IN "
+    "('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END)"
+)
+# DuckDB casts ints with ::VARCHAR identically.
+_PLANE_COMP_DUCK = _PLANE_COMP.replace("AS STRING", "AS VARCHAR")
+
+_LSH_BUCKET_SQL = f"""
+WITH planes AS (
+  SELECT p, i, {_PLANE_COMP_DUCK} AS comp
+  FROM range(0, {N_PLANES}) t1(p) CROSS JOIN range(1, 65) t2(i)),
+comps AS (
+  SELECT e.vec_id, pl.p,
+    SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.comp) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.p),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM comps GROUP BY vec_id)
+"""
+
+
+@query(
+    "q_lsh_bucket_histogram",
+    oracle=_LSH_BUCKET_SQL
+    + """
+SELECT bucket, COUNT(*) AS n_vectors
+FROM buckets GROUP BY bucket
+""",
+)
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = _lsh_buckets(spark, sf_dir)
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(N_PLANES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(1, 65).select(F.col("id").alias("i")))
+        .select("p", "i", F.expr(_PLANE_COMP).alias("comp"))
+    )
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+    comps = (
+        exploded.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v").cast("double") * F.col("comp")).alias("dot"))
+    )
+    return comps.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(
+                0.0
+            )
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN via LSH: search only the query's bucket, cosine within it, top-3.
+# --------------------------------------------------------------------------
+@query(
+    "q_ann_lsh",
+    oracle=_LSH_BUCKET_SQL
+    + f"""
+, q AS (
+  SELECT b.vec_id AS qid, b.bucket, e.embedding AS qe
+  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id
+  WHERE b.vec_id < 5),
+c AS (
+  SELECT b.vec_id AS cid, b.bucket, e.embedding AS ce
+  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id),
+scored AS (
+  SELECT qid, cid,
+    round({_SQL_DOT.format(a="qe", b="ce")}
+      / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6)
+      AS cos_sim
+  FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid)
+SELECT qid, cid, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = _lsh_buckets(spark, sf_dir)
+    with_b = emb.join(buckets, "vec_id")
+    q = with_b.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket"),
+        F.col("embedding").alias("qe"),
+    )
+    c = with_b.select(
+        F.col("vec_id").alias("cid"),
+        F.col("bucket").alias("cbucket"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid")))
+        .select(
+            "qid",
+            "cid",
+            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "cid", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs within a label (blocked join).
+# --------------------------------------------------------------------------
+@query(
+    "q_embedding_near_dup_pairs",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+    / ({_SQL_NORM.format(a="a.embedding")}
+       * {_SQL_NORM.format(a="b.embedding")}), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+    / ({_SQL_NORM.format(a="a.embedding")}
+       * {_SQL_NORM.format(a="b.embedding")}) >= 0.35
+""",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", "label", "embedding")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(col: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(col), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cos = dot / (norm("a.embedding") * norm("b.embedding"))
+    return pair.where(cos >= 0.35).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cos_sim"),
+    )

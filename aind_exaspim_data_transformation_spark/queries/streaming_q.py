@@ -1,1 +1,80 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming queries for the driver harness.
+
+These run a real Structured Streaming job (availableNow trigger) to a
+memory sink, then return the drained table. Aggregation results match the
+batch twins in ``events_q`` — cross-checked in tests — but the driver
+records rows-only here (streaming is not SQL-expressible for the DuckDB
+oracle). ``q_stream_tumbling`` does carry an oracle: with a 2-hour
+watermark and a finite replay, no rows are late, so the complete-mode
+result equals the batch computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.events import (
+    run_to_memory,
+    stream_dedup,
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+from .registry import query
+
+_COUNTER = {"n": 0}
+
+
+def _unique(name: str) -> str:
+    _COUNTER["n"] += 1
+    return f"{name}_{_COUNTER['n']}"
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+SELECT
+  strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS wstart,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _unique("stream_tumbling")
+    run_to_memory(
+        stream_tumbling_counts(spark, sf_dir, "1 hour"),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
+@query("q_stream_sessions")  # rows-only: session merge order isn't SQL
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _unique("stream_sessions")
+    run_to_memory(
+        stream_session_windows(spark, sf_dir), name, output_mode="complete"
+    )
+    return spark.table(name)
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique
+FROM (SELECT DISTINCT event_id, event_type FROM events)
+GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _unique("stream_dedup")
+    run_to_memory(stream_dedup(spark, sf_dir), name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n_unique")
+    )

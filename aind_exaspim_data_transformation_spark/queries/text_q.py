@@ -1,1 +1,285 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table (north-star surface).
+
+Language-ID (stopword-vote heuristic), quality scoring, token counting,
+TF-IDF scoring, and document fingerprinting — all expressed as built-in
+DataFrame ops (split/explode/groupBy/window), which keeps them JVM-side and
+shuffle-minimal at 100 TB: the explode is map-side, the per-doc aggregation
+shuffles on doc_id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex token count.
+# --------------------------------------------------------------------------
+@query(
+    "q_text_tokens",
+    oracle="""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+  length(text) AS n_chars,
+  length(replace(text, ' ', '')) AS n_nonspace_chars
+FROM documents
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        ).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_nonspace_chars"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: word-length stats, short/long-word ratios, char classes.
+# --------------------------------------------------------------------------
+@query(
+    "q_text_quality",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+    CAST(list_sum(list_transform(string_split(text, ' '),
+                                 t -> length(t))) AS BIGINT) AS sum_len,
+    len(list_filter(string_split(text, ' '), t -> length(t) <= 3))
+      AS n_short,
+    len(list_filter(string_split(text, ' '), t -> length(t) >= 6))
+      AS n_long,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels
+  FROM documents)
+SELECT doc_id, n_words,
+  CAST(sum_len AS DOUBLE) / n_words AS avg_word_len,
+  CAST(n_short AS DOUBLE) / n_words AS short_ratio,
+  CAST(n_long AS DOUBLE) / n_words AS long_ratio,
+  CAST(n_vowels AS DOUBLE) / n_chars AS vowel_ratio
+FROM w
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda t: F.length(t)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_len"),
+        F.size(F.filter(words, lambda t: F.length(t) <= 3)).alias("n_short"),
+        F.size(F.filter(words, lambda t: F.length(t) >= 6)).alias("n_long"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).alias("n_vowels"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        (F.col("sum_len").cast("double") / F.col("n_words")).alias(
+            "avg_word_len"
+        ),
+        (F.col("n_short").cast("double") / F.col("n_words")).alias(
+            "short_ratio"
+        ),
+        (F.col("n_long").cast("double") / F.col("n_words")).alias(
+            "long_ratio"
+        ),
+        (F.col("n_vowels").cast("double") / F.col("n_chars")).alias(
+            "vowel_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID: stopword-vote heuristic against tiny per-language lexicons,
+# deterministic argmax (votes desc, lang asc). Broadcast lexicon join.
+# --------------------------------------------------------------------------
+_LEXICON = [
+    ("en", w)
+    for w in ["the", "a", "and", "of", "fast", "key", "join", "data"]
+] + [
+    ("es", w) for w in ["el", "la", "de", "y", "que", "row", "data"]
+] + [
+    ("fr", w) for w in ["le", "la", "de", "et", "les", "table"]
+] + [
+    ("de", w) for w in ["der", "die", "und", "das", "hash", "group"]
+]
+
+_LEX_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in _LEXICON)
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+WITH lex(lang_cand, word) AS (VALUES {_LEX_VALUES}),
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+votes AS (
+  SELECT t.doc_id, l.lang_cand, COUNT(*) AS n_votes
+  FROM tokens t JOIN lex l ON t.word = l.word
+  GROUP BY t.doc_id, l.lang_cand),
+ranked AS (
+  SELECT doc_id, lang_cand, n_votes,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY n_votes DESC, lang_cand) AS rn
+  FROM votes)
+SELECT d.doc_id,
+  COALESCE(r.lang_cand, 'unknown') AS predicted_lang,
+  COALESCE(r.n_votes, 0) AS n_votes
+FROM documents d
+LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, "lang_cand string, word string")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    votes = (
+        tokens.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_votes"), F.asc("lang_cand")
+    )
+    best = votes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang_cand", F.lit("unknown")).alias("predicted_lang"),
+        F.coalesce("n_votes", F.lit(0)).alias("n_votes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top term per document (exact, not hashed) — explode, two
+# aggregations, one window. Deterministic score = (tf)*(ln(N/df)).
+# --------------------------------------------------------------------------
+@query(
+    "q_text_tfidf_top_term",
+    oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM tokens GROUP BY doc_id, word),
+doclen AS (
+  SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id),
+df AS (
+  SELECT word, COUNT(*) AS docfreq FROM tf GROUP BY word),
+n_docs AS (SELECT COUNT(*) AS total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+    (CAST(tf.c AS DOUBLE) / doclen.n)
+      * ln(CAST(n_docs.total AS DOUBLE) / df.docfreq) AS score
+  FROM tf
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  JOIN df ON tf.word = df.word
+  CROSS JOIN n_docs)
+SELECT doc_id, word AS top_term, round(score, 10) AS tfidf
+FROM (SELECT doc_id, word, score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, word) AS rn
+      FROM scored)
+WHERE rn = 1
+""",
+)
+def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar; one count of a tiny table
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("docfreq"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df, "word")
+        .select(
+            "doc_id",
+            "word",
+            (
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.lit(float(n_docs)) / F.col("docfreq"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.round("score", 10).alias("tfidf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 of whitespace-normalized text + bucket.
+# --------------------------------------------------------------------------
+@query(
+    "q_text_fingerprint",
+    oracle="""
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+  substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 4)
+    AS bucket
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 4).alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language corpus stats (group-by over text metrics).
+# --------------------------------------------------------------------------
+@query(
+    "q_text_lang_stats",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+FROM documents
+GROUP BY lang
+""",
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.sum(F.size(F.split("text", " "))).alias("total_words"),
+    )

@@ -42,8 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
+            # Integer division: double division loses precision at 1.7e18 ns.
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,115 @@
+"""Structured Streaming operators over the events table (SURVEY §2B
+streaming rows).
+
+The events parquet is replayed as a file stream; watermarks bound state so
+these plans run unbounded at scale. Each helper returns a streaming
+DataFrame; callers pick the sink (memory for tests, foreachBatch for the
+Zarr/parquet sinks).
+
+Design notes for 100 TB streams:
+- watermark + windowed aggregation keeps state size O(windows x keys in
+  the watermark horizon), independent of stream length;
+- ``dropDuplicates`` with watermark ages dedup state out;
+- session windows merge in the state store (no global sort).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit schema: streaming sources cannot infer. ts arrives as raw
+# nanoseconds (see sources.tables.load_table for the batch twin).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with event-time column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory; glob-filter to events.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows (15-minute gap) per user."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon."""
+    ev = read_events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drain a streaming DataFrame into an in-memory table (availableNow:
+    processes everything currently in the source, then stops)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
