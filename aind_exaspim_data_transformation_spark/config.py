@@ -1,0 +1,58 @@
+"""Job settings model.
+
+Same knob surface as the reference's pydantic settings (reference
+models.py:20-143: chunk/shard shapes, scale factor, level count, the six
+downsample modes, partition mode, single-tile mode) plus Spark-specific
+additions. Values validate from JSON / dict / env exactly like a
+spark-submit entry module needs.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+from pydantic import BaseModel, Field, field_validator
+
+DownsampleMode = Literal["stride", "median", "mode", "mean", "min", "max"]
+PartitionMode = Literal["shard", "file"]
+
+
+class ConvertJobSettings(BaseModel):
+    """Settings for the tensor -> Zarr v3 conversion pipeline."""
+
+    input_source: str
+    output_location: str
+
+    chunk_shape: tuple[int, int, int] = (128, 256, 256)
+    shard_shape: tuple[int, int, int] = (512, 512, 512)
+    scale_factor: tuple[int, int, int] = (2, 2, 2)
+    downsample_levels: int = 5
+    downsample_mode: DownsampleMode = "mean"
+    translate_pyramid: bool = True  # copy source levels vs recompute
+
+    codec: Literal["gzip", "zstd", "none"] = "gzip"
+    codec_level: int = 1
+
+    # Spark-side knobs
+    partition_mode: PartitionMode = "shard"
+    single_tile_upload: bool = False
+    superchunk_multiple: tuple[int, int, int] = (2, 1, 1)
+    tasks_per_cpu: int = 2
+
+    @field_validator("downsample_levels")
+    @classmethod
+    def _levels_positive(cls, v: int) -> int:
+        if v < 1:
+            raise ValueError("downsample_levels must be >= 1")
+        return v
+
+    @field_validator("shard_shape")
+    @classmethod
+    def _shard_positive(cls, v):
+        if any(d < 1 for d in v):
+            raise ValueError("shard_shape must be positive")
+        return v
+
+    @classmethod
+    def from_json(cls, text: str) -> "ConvertJobSettings":
+        return cls.model_validate_json(text)

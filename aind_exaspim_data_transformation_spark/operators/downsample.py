@@ -1,0 +1,92 @@
+"""Six-mode 3-D downsample kernel (SURVEY §2A A1).
+
+Block-local numpy reduction used inside the writer UDF — the partial half
+of Spark's partial+final aggregation pattern: each task reduces its own
+input region, only reduced voxels ever move.
+
+Semantics match the reference's TensorStore ``downsample`` driver modes
+(reference compress/imaris_to_zarr.py:562-570; models.py:79-85):
+``stride, median, mode, mean, min, max`` with ceil-division output shapes
+and truncated edge windows (windows at the array edge reduce only the
+voxels that exist). ``mode`` ties break to the smallest value; ``mean``
+on integer inputs rounds half to even (numpy) before casting back.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+DOWNSAMPLE_MODES = ("stride", "median", "mode", "mean", "min", "max")
+
+
+def downsampled_shape(
+    shape: tuple[int, ...], factor: tuple[int, ...]
+) -> tuple[int, ...]:
+    """ceil(shape / factor) per axis (reference
+    compress/imaris_to_zarr.py:56-87)."""
+    if len(shape) != len(factor):
+        raise ValueError("shape/factor arity mismatch")
+    return tuple(math.ceil(s / f) for s, f in zip(shape, factor))
+
+
+def _stacked_windows(arr: np.ndarray, factor: tuple[int, int, int]):
+    """(oz, oy, ox, fz*fy*fx) float64 window stack, NaN-padded at edges."""
+    fz, fy, fx = factor
+    oz, oy, ox = downsampled_shape(arr.shape, factor)
+    padded = np.full(
+        (oz * fz, oy * fy, ox * fx), np.nan, dtype=np.float64
+    )
+    padded[: arr.shape[0], : arr.shape[1], : arr.shape[2]] = arr
+    windows = padded.reshape(oz, fz, oy, fy, ox, fx)
+    return windows.transpose(0, 2, 4, 1, 3, 5).reshape(oz, oy, ox, -1)
+
+
+def _mode_reduce(stack: np.ndarray) -> np.ndarray:
+    """Most-frequent value per window; ties -> smallest value. NaN padding
+    sorts to the end and is excluded by run-length bookkeeping."""
+    s = np.sort(stack, axis=-1)  # NaNs last
+    n = s.shape[-1]
+    best_val = s[..., 0].copy()
+    best_cnt = np.ones(s.shape[:-1], dtype=np.int64)
+    cur_cnt = np.ones_like(best_cnt)
+    for i in range(1, n):
+        cur = s[..., i]
+        prev = s[..., i - 1]
+        is_run = cur == prev  # False for NaN
+        cur_cnt = np.where(is_run, cur_cnt + 1, 1)
+        better = is_run & (cur_cnt > best_cnt)
+        best_cnt = np.where(better, cur_cnt, best_cnt)
+        best_val = np.where(better, cur, best_val)
+    return best_val
+
+
+def downsample_block(
+    arr: np.ndarray,
+    factor: tuple[int, int, int] = (2, 2, 2),
+    mode: str = "mean",
+) -> np.ndarray:
+    """Reduce each ``factor``-shaped window of a 3-D block to one voxel."""
+    if mode not in DOWNSAMPLE_MODES:
+        raise ValueError(f"mode must be one of {DOWNSAMPLE_MODES}")
+    if arr.ndim != 3:
+        raise ValueError("downsample_block expects a 3-D (Z, Y, X) array")
+    dtype = arr.dtype
+    if mode == "stride":
+        return arr[:: factor[0], :: factor[1], :: factor[2]].copy()
+
+    stack = _stacked_windows(arr, factor)
+    if mode == "mean":
+        out = np.nanmean(stack, axis=-1)
+    elif mode == "median":
+        out = np.nanmedian(stack, axis=-1)
+    elif mode == "min":
+        out = np.nanmin(stack, axis=-1)
+    elif mode == "max":
+        out = np.nanmax(stack, axis=-1)
+    else:  # mode
+        out = _mode_reduce(stack)
+    if np.issubdtype(dtype, np.integer):
+        out = np.rint(out)
+    return out.astype(dtype)

@@ -67,16 +67,23 @@ def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash signatures: unigram shingles, 8 salted-md5 "permutations".
-# sig_i(doc) = min over distinct words of md5('<i>|' || word).
+# MinHash signatures: word 2-gram shingles, 8 salted-md5 "permutations".
+# sig_i(doc) = min over distinct shingles of md5('<i>|' || shingle).
+# (2-grams, not unigrams: the synthetic corpus shares a tiny vocabulary, so
+# unigram sets are degenerate — nearly all docs collide into one bucket.)
 # --------------------------------------------------------------------------
 def _minhash_sig_sql() -> str:
     sigs = ",\n  ".join(
-        f"MIN(md5(concat('{i}|', word))) AS sig_{i}" for i in range(N_HASHES)
+        f"MIN(md5(concat('{i}|', shingle))) AS sig_{i}"
+        for i in range(N_HASHES)
     )
     return f"""
 WITH tokens AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(
+      range(1, len(string_split(text, ' '))),
+      j -> concat(string_split(text, ' ')[j], ' ',
+                  string_split(text, ' ')[j + 1]))) AS shingle
   FROM documents)
 SELECT doc_id,
   {sigs}
@@ -87,11 +94,20 @@ GROUP BY doc_id
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingle_list = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda j: F.concat_ws(
+            " ", F.element_at(words, j + 1), F.element_at(words, j + 2)
+        ),
+    )
     tokens = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
+        "doc_id", F.explode(shingle_list).alias("shingle")
     ).distinct()
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("word")))).alias(f"sig_{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+            f"sig_{i}"
+        )
         for i in range(N_HASHES)
     ]
     return tokens.groupBy("doc_id").agg(*aggs)
@@ -137,20 +153,38 @@ WHERE ({est}) >= {N_HASHES // 2}
 
 @query("q_minhash_lsh_pairs", oracle=_lsh_pairs_sql())
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_signatures(spark, sf_dir).cache()
+    # Signatures travel WITH the band rows as an array column, so candidate
+    # pairs carry both signatures out of the bucket join — no re-join back
+    # to the signature table (2 shuffles saved; at scale the join back
+    # would reshuffle the full signature relation per side).
+    sigs = _minhash_signatures(spark, sf_dir)
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
     bands = None
     for b in range(N_BANDS):
         band = sigs.select(
             "doc_id",
             F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))).alias(
-                "band_key"
-            ),
+            F.md5(
+                F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+            ).alias("band_key"),
+            sig_arr.alias("sig"),
         )
         bands = band if bands is None else bands.unionByName(band)
+    # Cache: both sides of the self-join reuse one materialization instead
+    # of recomputing the shingle+signature lineage twice.
+    bands = bands.cache()
     x = bands.alias("x")
     y = bands.alias("y")
-    cand = (
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"),
+            F.col("y.sig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -158,24 +192,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            matches.alias("m"),
         )
         .distinct()
-    )
-    a = sigs.alias("a")
-    b_ = sigs.alias("b")
-    matches = sum(
-        F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
-    )
-    return (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b_, cand.doc_b == F.col("b.doc_id"))
-        .where(matches >= N_HASHES // 2)
+        .where(F.col("m") >= N_HASHES // 2)
         .select(
             "doc_a",
             "doc_b",
-            (matches.cast("double") / N_HASHES).alias("est_jaccard"),
+            (F.col("m").cast("double") / N_HASHES).alias("est_jaccard"),
         )
     )
 

@@ -1,0 +1,87 @@
+"""Codecs for the Zarr v3 writer: CRC32C (Castagnoli) and bytes compressors.
+
+CRC32C is required by the v3 `sharding_indexed` index codec chain
+(mirrors the reference's index spec, compress/imaris_to_zarr.py:237).
+Implemented as a table-driven numpy kernel — no C extension needed, and
+fast enough for 16-byte-per-chunk index payloads (the only thing it
+checksums here).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib as _zlib
+
+import numpy as np
+
+_CRC32C_POLY = 0x82F63B78  # reflected Castagnoli polynomial
+
+
+def _make_table() -> np.ndarray:
+    table = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ (_CRC32C_POLY if crc & 1 else 0)
+        table[i] = crc
+    return table
+
+
+_TABLE = _make_table()
+
+
+def crc32c(data: bytes, value: int = 0) -> int:
+    """CRC-32C (Castagnoli) of ``data``; matches the crc32c library."""
+    crc = np.uint32(value ^ 0xFFFFFFFF)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    table = _TABLE
+    for b in buf:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> np.uint32(8))
+    return int(crc ^ np.uint32(0xFFFFFFFF))
+
+
+try:  # optional fast path when the zstandard wheel exists
+    import zstandard as _zstd
+
+    def zstd_compress(data: bytes, level: int = 3) -> bytes:
+        return _zstd.ZstdCompressor(level=level).compress(data)
+
+    def zstd_decompress(data: bytes) -> bytes:
+        return _zstd.ZstdDecompressor().decompress(data)
+
+    HAVE_ZSTD = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAVE_ZSTD = False
+
+    def zstd_compress(data: bytes, level: int = 3) -> bytes:
+        raise NotImplementedError("zstandard module not available")
+
+    def zstd_decompress(data: bytes) -> bytes:
+        raise NotImplementedError("zstandard module not available")
+
+
+def compress(data: bytes, codec: str, level: int) -> bytes:
+    if codec == "gzip":
+        # mtime=0: deterministic output => idempotent shard bytes under
+        # task retry / re-run (the sink's exactly-once property).
+        return _gzip.compress(data, compresslevel=level, mtime=0)
+    if codec == "zstd":
+        return zstd_compress(data, level)
+    if codec == "none":
+        return data
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decompress(data: bytes, codec: str) -> bytes:
+    if codec == "gzip":
+        return _gzip.decompress(data)
+    if codec == "zstd":
+        return zstd_decompress(data)
+    if codec == "none":
+        return data
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def zlib_crc32(data: bytes) -> int:
+    """Plain CRC32 (for quick content fingerprints in stats rows)."""
+    return _zlib.crc32(data) & 0xFFFFFFFF

@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>}
+
+Headline set: one query per operator family, weighted toward the
+shuffle-heavy paths that dominate at scale (joins, aggregation, windows,
+dedup pair generation) plus the tensor conversion pipeline at a bench
+scale (synthetic source, pure write path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aind_exaspim_data_transformation_spark.config import ConvertJobSettings
+from aind_exaspim_data_transformation_spark.queries import QUERIES
+from aind_exaspim_data_transformation_spark.session import get_spark
+from aind_exaspim_data_transformation_spark.zarrio.pipeline import (
+    convert_to_zarr,
+)
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q_cube_flag_status",
+    "q_window_frames",
+    "q_topk_orders_per_customer",
+    "q_events_session",
+    "q_asof_click_purchase",
+    "q_minhash_lsh_pairs",
+    "q_text_tfidf_top_term",
+    "q_knn_bruteforce",
+    "q_shard_grid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + catalog with one tiny action so timings measure the
+    # queries, not session startup.
+    QUERIES["q06_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # Tensor conversion throughput: synthetic 256^3 uint16 (32 MiB) x 2
+    # levels through the shard writer (the reference's core workload).
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.monotonic()
+        convert_to_zarr(
+            spark,
+            ConvertJobSettings(
+                input_source="synth://256,256,256,2",
+                output_location=os.path.join(tmp, "bench.zarr"),
+                chunk_shape=(64, 64, 64),
+                shard_shape=(128, 128, 128),
+                translate_pyramid=True,
+                codec="gzip",
+                codec_level=1,
+            ),
+        )
+        timings["tensor_to_zarr_256"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

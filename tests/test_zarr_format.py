@@ -1,0 +1,114 @@
+"""Zarr v3 sharded format: encode/decode round trips, clamping goldens,
+store metadata, and region reads."""
+
+import json
+
+import numpy as np
+import pytest
+
+from aind_exaspim_data_transformation_spark.zarrio.format import (
+    ShardSpec,
+    clamp_shard_and_chunk,
+    decode_shard,
+    encode_shard,
+    read_array_metadata,
+    read_array_region,
+    write_array_metadata,
+    write_group_metadata,
+    write_shard_file,
+)
+
+
+def _spec(**kw):
+    base = dict(
+        shape=(1, 1, 64, 64, 64),
+        shard_shape=(1, 1, 32, 32, 32),
+        chunk_shape=(1, 1, 16, 16, 16),
+        dtype="uint16",
+        codec="gzip",
+        codec_level=1,
+    )
+    base.update(kw)
+    return ShardSpec(**base)
+
+
+def test_encode_decode_roundtrip():
+    spec = _spec()
+    rng = np.random.default_rng(42)
+    data = rng.integers(0, 65535, size=spec.shard_shape, dtype=np.uint16)
+    blob = encode_shard(data, spec)
+    out = decode_shard(blob, spec)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_encode_rejects_wrong_shape():
+    spec = _spec()
+    with pytest.raises(ValueError, match="shard data shape"):
+        encode_shard(np.zeros((1, 1, 16, 16, 16), dtype=np.uint16), spec)
+
+
+def test_shard_must_be_chunk_multiple():
+    with pytest.raises(ValueError, match="multiple"):
+        _spec(shard_shape=(1, 1, 24, 32, 32))
+
+
+def test_index_crc_detects_corruption():
+    spec = _spec()
+    data = np.ones(spec.shard_shape, dtype=np.uint16)
+    blob = bytearray(encode_shard(data, spec))
+    blob[-5] ^= 0xFF  # flip a bit inside the index
+    with pytest.raises(ValueError, match="crc32c"):
+        decode_shard(bytes(blob), spec)
+
+
+def test_clamping_rules_match_reference_semantics():
+    # shard rounded down to a chunk multiple, at least one chunk
+    # (reference compress/imaris_to_zarr.py:205-220).
+    shard, chunk = clamp_shard_and_chunk(
+        (100, 200, 300), (512, 512, 512), (128, 256, 256)
+    )
+    assert chunk == (100, 200, 256)
+    assert shard == (100, 200, 256)
+    # big array: no clamping
+    shard, chunk = clamp_shard_and_chunk(
+        (768, 2688, 3584), (512, 512, 512), (128, 256, 256)
+    )
+    assert shard == (512, 512, 512)
+    assert chunk == (128, 256, 256)
+
+
+def test_store_metadata_and_region_read(tmp_path):
+    store = str(tmp_path / "store.zarr")
+    spec = _spec(shape=(1, 1, 40, 40, 40))  # edge shards truncated
+    rng = np.random.default_rng(7)
+    full = rng.integers(0, 65535, size=(40, 40, 40), dtype=np.uint16)
+    write_array_metadata(store, 0, spec)
+    for iz in range(2):
+        for iy in range(2):
+            for ix in range(2):
+                z0, y0, x0 = iz * 32, iy * 32, ix * 32
+                block = full[z0 : z0 + 32, y0 : y0 + 32, x0 : x0 + 32]
+                padded = np.zeros((1, 1, 32, 32, 32), dtype=np.uint16)
+                padded[0, 0, : block.shape[0], : block.shape[1], : block.shape[2]] = block
+                blob = encode_shard(padded, spec)
+                write_shard_file(store, 0, (0, 0, iz, iy, ix), blob)
+
+    rt = read_array_metadata(store, 0)
+    assert rt.shape == spec.shape
+    assert rt.chunk_shape == spec.chunk_shape
+    assert rt.codec == "gzip"
+
+    region = read_array_region(
+        store,
+        0,
+        (slice(0, 1), slice(0, 1), slice(5, 37), slice(0, 40), slice(30, 40)),
+    )
+    np.testing.assert_array_equal(region[0, 0], full[5:37, 0:40, 30:40])
+
+
+def test_group_metadata(tmp_path):
+    store = str(tmp_path / "g.zarr")
+    write_group_metadata(store, {"ome": {"version": "0.5"}})
+    meta = json.load(open(f"{store}/zarr.json"))
+    assert meta["node_type"] == "group"
+    assert meta["attributes"]["ome"]["version"] == "0.5"
