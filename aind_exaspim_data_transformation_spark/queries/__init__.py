@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     dedup_q,
     events_q,
     grid_q,
+    misc_q,
     multimodal_q,
     relational,
     scalars,
@@ -18,6 +19,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     similarity_q,
     streaming_q,
     text_q,
+    udf_q,
     windows,
 )
 from .registry import ORACLES, QUERIES, query

@@ -1,0 +1,138 @@
+"""Remaining §2B scalar surface: map functions, null-safe equality,
+LIKE/RLIKE, and approximate aggregates (rows-only: approx results are
+engine-specific by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Map functions: construct from arrays, lookup, keys/values, size.
+# (DuckDB map extraction yields a single-element list -> unwrap with [1].)
+# --------------------------------------------------------------------------
+@query(
+    "q_map_funcs",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+    map(['lang', 'source'], [lang, source]) AS meta
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+  meta['lang'][1] AS lang_val,
+  array_to_string(map_keys(meta), ',') AS keys_csv,
+  array_to_string(map_values(meta), ',') AS vals_csv,
+  cardinality(meta) AS n_entries
+FROM m
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    meta = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(meta, "lang").alias("lang_val"),
+        F.array_join(F.map_keys(meta), ",").alias("keys_csv"),
+        F.array_join(F.map_values(meta), ",").alias("vals_csv"),
+        F.size(meta).alias("n_entries"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality (<=> / IS NOT DISTINCT FROM) through a join on a
+# nullable derived key.
+# --------------------------------------------------------------------------
+@query(
+    "q_nullsafe_equality",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+    CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS uid
+  FROM events WHERE event_id < 200)
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM e a JOIN e b
+  ON a.uid IS NOT DISTINCT FROM b.uid AND a.event_id < b.event_id
+WHERE a.uid IS NULL
+""",
+)
+def q_nullsafe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.when(F.col("event_type") == "error", None)
+            .otherwise(F.col("user_id"))
+            .alias("uid"),
+        )
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.uid").eqNullSafe(F.col("b.uid"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .where(F.col("a.uid").isNull())
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LIKE / RLIKE pattern surface.
+# --------------------------------------------------------------------------
+@query(
+    "q_like_rlike",
+    oracle="""
+SELECT p_partkey,
+  CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
+  CASE WHEN p_name LIKE '%_5%' THEN 1 ELSE 0 END AS has_x5,
+  CASE WHEN regexp_matches(p_brand, '^Brand#[0-9]$') THEN 1 ELSE 0 END
+    AS single_digit_brand,
+  CASE WHEN regexp_matches(p_type, '(SMALL|LARGE)') THEN 1 ELSE 0 END
+    AS sized
+FROM part
+""",
+)
+def q_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias(
+            "is_promo"
+        ),
+        F.when(F.col("p_name").like("%_5%"), 1).otherwise(0).alias("has_x5"),
+        F.when(F.col("p_brand").rlike("^Brand#[0-9]$"), 1)
+        .otherwise(0)
+        .alias("single_digit_brand"),
+        F.when(F.col("p_type").rlike("(SMALL|LARGE)"), 1)
+        .otherwise(0)
+        .alias("sized"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates — rows-only (sketches are engine-specific); the
+# test suite checks error bounds against exact counts instead.
+# --------------------------------------------------------------------------
+@query("q_approx_aggregates")
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+            "approx_median_price"
+        ),
+    )

@@ -17,6 +17,7 @@ from ..streaming.events import (
     run_to_memory,
     stream_dedup,
     stream_session_windows,
+    stream_stateful_user_stats,
     stream_tumbling_counts,
 )
 from .registry import query
@@ -57,6 +58,28 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _unique("stream_sessions")
     run_to_memory(
         stream_session_windows(spark, sf_dir), name, output_mode="complete"
+    )
+    return spark.table(name)
+
+
+@query(
+    "q_stream_stateful_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_stateful_user_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # availableNow over one parquet file => a single micro-batch, so the
+    # final update per user equals the batch aggregate (oracle-checkable).
+    name = _unique("stream_stateful")
+    run_to_memory(
+        stream_stateful_user_stats(spark, sf_dir), name, output_mode="update"
     )
     return spark.table(name)
 

@@ -100,6 +100,45 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
 
 
+def stream_stateful_user_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, value-sum in cents) kept in the state store. The
+    arbitrary-state API is the escape hatch for operators windowed
+    aggregation can't express (e.g. cross-event session logic)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:
