@@ -272,6 +272,32 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# from_json: parse into a typed struct, navigate fields (schema-on-read).
+# --------------------------------------------------------------------------
+@query(
+    "q_from_json_struct",
+    oracle="""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+FROM events WHERE event_id < 500
+""",
+)
+def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") < 500
+    )
+    parsed = events.withColumn(
+        "j", F.from_json("props", "k BIGINT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k_typed"),
+        (F.col("j.k") * 2).alias("k_doubled"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Hash functions (md5 / sha256) — shared ground truth with DuckDB.
 # --------------------------------------------------------------------------
 @query(

@@ -260,6 +260,57 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting): char
+# 8-gram md5 hashes, min over a 4-gram sliding window, distinct per doc.
+# The standard plagiarism/near-dup fingerprint scheme, shuffle-light:
+# explode is map-side, one window sort per doc, distinct on (doc, hash).
+# --------------------------------------------------------------------------
+_K = 8  # gram length
+_W = 4  # winnowing window
+
+
+@query(
+    "q_text_winnowing",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), {_K})) AS h
+  FROM documents,
+    (SELECT unnest(range(1, 2000)) AS i) idx
+  WHERE i <= length(text) - {_K} + 1 AND doc_id < 100),
+wins AS (
+  SELECT doc_id,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {_W - 1} FOLLOWING)
+      AS fingerprint
+  FROM grams)
+SELECT DISTINCT doc_id, fingerprint FROM wins
+""",
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_K - 1))
+        ).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.expr(f"substr(text, CAST(i AS INT), {_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _W - 1)
+    )
+    return (
+        grams.select("doc_id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-language corpus stats (group-by over text metrics).
 # --------------------------------------------------------------------------
 @query(
