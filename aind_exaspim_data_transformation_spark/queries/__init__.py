@@ -14,6 +14,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     misc_q,
     multimodal_q,
     relational,
+    relational2,
     scalars,
     setops,
     similarity_q,

@@ -1,0 +1,305 @@
+"""Second relational batch: subquery patterns (scalar, correlated, IN,
+NOT EXISTS), disjunctive predicate pushdown, and distribution queries —
+the remaining TPC-H query shapes adapted to the available star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ._helpers import SQL_DEC, dec, disc_price, dsum, SQL_DISC_PRICE
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Q2-style correlated subquery: supplier(s) with the max account balance
+# within their nation.
+# --------------------------------------------------------------------------
+@query(
+    "q_max_balance_supplier_per_nation",
+    oracle="""
+SELECT s_nationkey, s_suppkey, s_name,
+  CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+FROM supplier s1
+WHERE s_acctbal = (SELECT MAX(s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s1.s_nationkey)
+""",
+)
+def q_max_balance_supplier_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        supp.withColumn("mx", F.max("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("mx"))
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            dec("s_acctbal").cast("double").alias("acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11-style scalar-subquery HAVING: part types whose revenue exceeds
+# 1/50th of the global total.
+# --------------------------------------------------------------------------
+@query(
+    "q_important_part_types",
+    oracle=f"""
+WITH per_type AS (
+  SELECT p_type, SUM({SQL_DISC_PRICE}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type)
+SELECT p_type, CAST(rev AS DOUBLE) AS revenue
+FROM per_type
+WHERE CAST(rev AS DOUBLE) >
+  (SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) / 50.0
+   FROM lineitem JOIN part ON l_partkey = p_partkey)
+""",
+)
+def q_important_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_type = joined.groupBy("p_type").agg(
+        F.sum(disc_price()).alias("rev")
+    )
+    total = joined.agg(
+        (F.sum(disc_price()).cast("double") / 50.0).alias("thr")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .where(F.col("rev").cast("double") > F.col("thr"))
+        .select("p_type", F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13-style distribution: how many customers placed k orders (k >= 0).
+# --------------------------------------------------------------------------
+@query(
+    "q_order_count_distribution",
+    oracle="""
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY n_orders
+""",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14-style conditional-aggregation ratio: promo revenue share.
+# --------------------------------------------------------------------------
+@query(
+    "q_promo_revenue_share",
+    oracle=f"""
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN {SQL_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4))
+                   END) AS DOUBLE)
+        / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_pct,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), disc_price()
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(disc_price()).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18-style IN-subquery on grouped HAVING: orders whose total quantity
+# exceeds a threshold, joined back to customers.
+# --------------------------------------------------------------------------
+@query(
+    "q_large_volume_orders",
+    oracle=f"""
+SELECT c_custkey, o_orderkey,
+  CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS {SQL_DEC})) > 150)
+GROUP BY c_custkey, o_orderkey
+""",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19-style disjunctive predicates (OR of AND-groups over two tables).
+# --------------------------------------------------------------------------
+@query(
+    "q_disjunctive_predicates",
+    oracle=f"""
+SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 5 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 35)
+   OR (p_type LIKE 'LARGE%' AND l_quantity >= 20)
+""",
+)
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (F.col("p_type").like("LARGE%") & (F.col("l_quantity") >= 20))
+    )
+    return joined.where(cond).agg(
+        F.sum(disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22-style NOT EXISTS + scalar subquery: above-average-balance customers
+# with no orders, counted per nation prefix.
+# --------------------------------------------------------------------------
+@query(
+    "q_prospect_customers",
+    oracle=f"""
+SELECT c_nationkey, COUNT(*) AS n_prospects,
+  CAST(SUM(CAST(c_acctbal AS {SQL_DEC})) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS {SQL_DEC})) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 450000)
+GROUP BY c_nationkey
+""",
+)
+def q_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 450000
+    )
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_prospects"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7-style bi-nation volume: revenue between two nation pairs by year.
+# --------------------------------------------------------------------------
+@query(
+    "q_nation_pair_volume",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  year(o_orderdate) AS yr,
+  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_3', 'NATION_8')
+  AND cn.n_name IN ('NATION_3', 'NATION_8')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(o_orderdate)
+""",
+)
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_3", "NATION_8"))
+    cn = nation.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_3", "NATION_8"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sk"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("ck"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("yr")
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
