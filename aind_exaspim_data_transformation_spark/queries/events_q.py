@@ -25,8 +25,8 @@ from .registry import query
     "q_events_tumbling",
     oracle="""
 SELECT
-  strftime(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),
-           '%Y-%m-%d %H:%M:%S') AS wstart,
+  strftime(make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)
+                          * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
   event_type,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
@@ -61,8 +61,8 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_sliding",
     oracle="""
 SELECT
-  strftime(to_timestamp(
-    CAST(floor(epoch(ts) / 300) * 300 - k * 300 AS BIGINT)),
+  strftime(make_timestamp(
+    CAST(floor(epoch(ts) / 300) * 300 - k * 300 AS BIGINT) * 1000000),
     '%Y-%m-%d %H:%M:%S') AS wstart,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -34,8 +34,8 @@ def _unique(name: str) -> str:
     "q_stream_tumbling",
     oracle="""
 SELECT
-  strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
-           '%Y-%m-%d %H:%M:%S') AS wstart,
+  strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                          * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
   event_type,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

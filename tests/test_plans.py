@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: the optimizations the 100 TB design
+relies on must be visible in the executed plan, not assumed."""
+
+from aind_exaspim_data_transformation_spark.queries import QUERIES
+
+from conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _tree(plan: str) -> str:
+    """The operator-tree section of a formatted plan (before the
+    per-node details)."""
+    return plan.split("\n\n")[0]
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused columns don't reach the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # partial + final hash aggregation (map-side combine), one shuffle
+    tree = _tree(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_q05_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q05_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    # region filter pushed into the scan
+    assert "In(r_name, [ASIA,EUROPE])" in plan
+
+
+def test_q03_take_ordered_topk(spark):
+    plan = _plan(spark, "q03_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_window_single_exchange(spark):
+    plan = _plan(spark, "q_window_frames")
+    # one exchange for the window partition, one sort, nothing more
+    tree = _tree(plan)
+    assert tree.count("Exchange") == 1
+    assert tree.count("Sort") == 1
+
+
+def test_semi_join_for_exists(spark):
+    plan = _plan(spark, "q04_order_priority")
+    assert "LeftSemi" in plan
