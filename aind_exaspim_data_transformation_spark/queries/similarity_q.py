@@ -290,6 +290,116 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF coarse quantization: per-label centroids as the codebook, every
+# vector assigned to its nearest centroid (argmin L2, deterministic
+# tie-break), then ANN probes only the query's cluster. The standard
+# two-level index: at 100 TB the assignment is one broadcast join of a
+# tiny codebook against the vector table, and search touches 1/k of it.
+# --------------------------------------------------------------------------
+_IVF_SQL = """
+WITH cent AS (
+  SELECT label, i AS dim,
+    SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*) AS c
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, i),
+dist AS (
+  SELECT e.vec_id, cent.label,
+    round(SUM(power(CAST(e.embedding[cent.dim] AS DOUBLE) - cent.c, 2)), 6)
+      AS d2
+  FROM embeddings e CROSS JOIN cent
+  GROUP BY e.vec_id, cent.label),
+assign AS (
+  SELECT vec_id, label AS cluster
+  FROM (SELECT vec_id, label, d2,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        FROM dist)
+  WHERE rn = 1)
+"""
+
+
+@query(
+    "q_ann_ivf",
+    oracle=_IVF_SQL
+    + f"""
+, q AS (
+  SELECT a.vec_id AS qid, a.cluster, e.embedding AS qe
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+  WHERE a.vec_id < 5),
+c AS (
+  SELECT a.vec_id AS cid, a.cluster, e.embedding AS ce
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+scored AS (
+  SELECT qid, cid,
+    round({_SQL_DOT.format(a="qe", b="ce")}
+      / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6)
+      AS cos_sim
+  FROM q JOIN c ON q.cluster = c.cluster AND qid <> cid)
+SELECT qid, cid, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = exploded.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (F.sum("v") / F.count(F.lit(1))).alias("c")
+    )
+    dist = (
+        exploded.drop("label")
+        .join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "clabel")
+        .agg(F.round(F.sum(F.pow(F.col("v") - F.col("c"), 2)), 6).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    assign = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cluster"))
+    )
+    with_cluster = emb.join(assign, "vec_id").cache()
+    q = with_cluster.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cluster"),
+        F.col("embedding").alias("qe"),
+    )
+    c = with_cluster.select(
+        F.col("vec_id").alias("cid"),
+        F.col("cluster").alias("ccluster"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("cluster") == F.col("ccluster"))
+            & (F.col("qid") != F.col("cid")),
+        )
+        .select(
+            "qid",
+            "cid",
+            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 3)
+        .select("qid", "cid", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs within a label (blocked join).
 # --------------------------------------------------------------------------
 @query(

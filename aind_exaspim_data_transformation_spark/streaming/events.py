@@ -139,6 +139,32 @@ def stream_stateful_user_stats(
     )
 
 
+def run_foreach_batch_parquet(
+    df: DataFrame, out_dir: str, partition_col: str | None = None
+) -> int:
+    """foreachBatch sink: each micro-batch lands as parquet (optionally
+    partitioned). The pattern the Zarr sink uses in streaming mode —
+    foreachBatch hands the batch to ANY batch writer, including the shard
+    writer UDF. Returns the number of micro-batches processed."""
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(out_dir)
+        n_batches["n"] += 1
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): format round trips and grid-math
+invariants hold for arbitrary shapes, not just the goldens."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aind_exaspim_data_transformation_spark.operators.downsample import (
+    downsample_block,
+    downsampled_shape,
+)
+from aind_exaspim_data_transformation_spark.zarrio.codecs import crc32c
+from aind_exaspim_data_transformation_spark.zarrio.format import (
+    ShardSpec,
+    clamp_shard_and_chunk,
+    decode_shard,
+    encode_shard,
+)
+
+dims = st.integers(min_value=1, max_value=48)
+factors = st.integers(min_value=1, max_value=4)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    z=dims, y=dims, x=dims,
+    data=st.data(),
+)
+def test_shard_roundtrip_any_shape(z, y, x, data):
+    # chunk divides shard by construction
+    cz = data.draw(st.sampled_from([c for c in (1, 2, 4, 8) if c <= z]))
+    spec = ShardSpec(
+        shape=(1, 1, z, y, x),
+        shard_shape=(1, 1, z, y, x),
+        chunk_shape=(1, 1, cz, y, x),
+        dtype="uint16",
+        codec="gzip",
+        codec_level=1,
+    ) if z % cz == 0 else None
+    if spec is None:
+        return
+    rng = np.random.default_rng(z * 10007 + y * 101 + x)
+    arr = rng.integers(0, 65536, size=spec.shard_shape, dtype=np.uint16)
+    out = decode_shard(encode_shard(arr, spec), spec)
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(z=dims, y=dims, x=dims, fz=factors, fy=factors, fx=factors)
+def test_downsampled_shape_matches_kernel_output(z, y, x, fz, fy, fx):
+    arr = np.zeros((z, y, x), dtype=np.uint16)
+    for mode in ("mean", "min", "max", "stride"):
+        out = downsample_block(arr, (fz, fy, fx), mode)
+        assert out.shape == downsampled_shape((z, y, x), (fz, fy, fx))
+
+
+@settings(max_examples=50, deadline=None)
+@given(x=st.integers(min_value=1, max_value=10**9))
+def test_iterated_halving_equals_direct_ceil(x):
+    # ceil(ceil(x/2)/2) == ceil(x/4) — the identity the pyramid planner
+    # relies on when deriving level shapes directly.
+    it = x
+    for k in range(1, 6):
+        it = math.ceil(it / 2)
+        assert it == math.ceil(x / 2**k)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    z=st.integers(min_value=1, max_value=2000),
+    shard=st.integers(min_value=1, max_value=512),
+)
+def test_grid_slices_tile_the_axis(z, shard):
+    n = math.ceil(z / shard)
+    edges = [(i * shard, min((i + 1) * shard, z)) for i in range(n)]
+    assert edges[0][0] == 0 and edges[-1][1] == z
+    assert all(a < b for a, b in edges)
+    assert all(edges[i][1] == edges[i + 1][0] for i in range(n - 1))
+    assert sum(b - a for a, b in edges) == z
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    shape=st.tuples(
+        st.integers(1, 4096), st.integers(1, 4096), st.integers(1, 4096)
+    )
+)
+def test_clamping_invariants(shape):
+    shard, chunk = clamp_shard_and_chunk(
+        shape, (512, 512, 512), (128, 256, 256)
+    )
+    for d, s, c in zip(shape, shard, chunk):
+        assert 1 <= c <= min(d, 512)
+        assert c <= s <= d or s == c  # shard >= one chunk, within array
+        assert s % c == 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2048))
+def test_crc32c_incremental_property(data):
+    mid = len(data) // 2
+    assert crc32c(data) == crc32c(data[mid:], crc32c(data[:mid]))
