@@ -286,8 +286,10 @@ WITH s AS (
   FROM lineitem)
 SELECT n_rows, n_orders, n_parts, min_price, max_price,
   sum_price / n_rows AS avg_price,
-  sqrt((sum_sq - sum_price * sum_price / n_rows) / (n_rows - 1)) AS std_price,
-  (sum_sq - sum_price * sum_price / n_rows) / (n_rows - 1) AS var_price
+  round(sqrt((sum_sq - sum_price * sum_price / n_rows) / (n_rows - 1)), 4)
+    AS std_price,
+  round((sum_sq - sum_price * sum_price / n_rows) / (n_rows - 1), 4)
+    AS var_price
 FROM s
 """,
 )
@@ -313,8 +315,8 @@ def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
         (F.col("sum_price") / F.col("n_rows")).alias("avg_price"),
-        F.sqrt(var).alias("std_price"),
-        var.alias("var_price"),
+        F.round(F.sqrt(var), 4).alias("std_price"),
+        F.round(var, 4).alias("var_price"),
     )
 
 
@@ -336,9 +338,10 @@ WITH s AS (
              * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
   FROM lineitem)
 SELECT n,
-  (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
-  (sxy - sx * sy / n)
-    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+  round((sxy - sx * sy / n)
+    / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10)
+    AS corr_qty_price
 FROM s
 """,
 )
@@ -357,10 +360,11 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return s.select(
         "n",
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
-        (
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
+        F.round(
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            10,
         ).alias("corr_qty_price"),
     )
 

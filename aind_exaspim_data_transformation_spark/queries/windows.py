@@ -26,8 +26,8 @@ SELECT c_custkey, c_nationkey,
   RANK() OVER w AS rnk,
   DENSE_RANK() OVER w AS drnk,
   NTILE(4) OVER w AS quartile,
-  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-  round(CUME_DIST() OVER w, 6) AS cume
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
 """,
@@ -44,8 +44,8 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
