@@ -204,7 +204,9 @@ WHERE rn = 1
 )
 def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # driver-side scalar; one count of a tiny table
+    # corpus size as a broadcast scalar relation — no driver-side action,
+    # the whole query stays one lazy plan
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("total"))
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
@@ -215,12 +217,13 @@ def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(doclen, "doc_id")
         .join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "word",
             (
                 (F.col("c").cast("double") / F.col("n"))
-                * F.log(F.lit(float(n_docs)) / F.col("docfreq"))
+                * F.log(F.col("total") / F.col("docfreq"))
             ).alias("score"),
         )
     )

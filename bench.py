@@ -65,7 +65,7 @@ def main() -> None:
 
     # Tensor conversion throughput (the reference's core workload;
     # BASELINE.md comparable: 0.084 GB/s at 8-16 workers). Warm the
-    # Python workers with a tiny run, then convert 0.54 GB synthetic
+    # Python workers with a tiny run, then convert 4.3 GB synthetic
     # uint16 through the shard writer with gzip compression.
     with tempfile.TemporaryDirectory() as tmp:
         convert_to_zarr(
@@ -82,7 +82,7 @@ def main() -> None:
         result = convert_to_zarr(
             spark,
             ConvertJobSettings(
-                input_source="synth://1024,512,512,1",
+                input_source="synth://2048,1024,1024,1",
                 output_location=os.path.join(tmp, "bench.zarr"),
                 chunk_shape=(64, 64, 64),
                 shard_shape=(128, 128, 128),
@@ -92,7 +92,7 @@ def main() -> None:
             ),
         )
         dt = time.monotonic() - t0
-        timings["tensor_to_zarr_0.5GB"] = round(dt, 3)
+        timings["tensor_to_zarr_4GB"] = round(dt, 3)
         conversion_gbps = round(
             result["stages"][0]["bytes_read"] / 1e9 / dt, 4
         )

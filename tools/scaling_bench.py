@@ -1,0 +1,70 @@
+"""Core-count scaling sweep for the conversion pipeline — the engine's
+analog of the reference's 4/8/16-worker benchmark table
+(tests/test_live_ims_to_zarr.py:865-875 in the reference).
+
+Each configuration runs in a FRESH SparkSession (spark.master cannot
+change within one JVM), so run this as a standalone script:
+
+    python tools/scaling_bench.py [total_gb]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aind_exaspim_data_transformation_spark.config import ConvertJobSettings
+
+
+def run_one(cpus: int, shape: str) -> dict:
+    # fresh JVM per configuration
+    import subprocess
+
+    code = f"""
+import sys, time, tempfile, os, json
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from aind_exaspim_data_transformation_spark.session import get_spark
+from aind_exaspim_data_transformation_spark.config import ConvertJobSettings
+from aind_exaspim_data_transformation_spark.zarrio.pipeline import convert_to_zarr
+spark = get_spark('scaling', cpus={cpus})
+spark.sparkContext.setLogLevel('ERROR')
+with tempfile.TemporaryDirectory() as tmp:
+    convert_to_zarr(spark, ConvertJobSettings(
+        input_source='synth://64,64,64,1',
+        output_location=os.path.join(tmp, 'w.zarr'),
+        chunk_shape=(32,32,32), shard_shape=(32,32,32)))
+with tempfile.TemporaryDirectory() as tmp:
+    t0 = time.monotonic()
+    r = convert_to_zarr(spark, ConvertJobSettings(
+        input_source='synth://{shape},1',
+        output_location=os.path.join(tmp, 'b.zarr'),
+        chunk_shape=(64,64,64), shard_shape=(128,128,128),
+        translate_pyramid=True, codec='gzip', codec_level=1))
+    dt = time.monotonic() - t0
+    br = r['stages'][0]['bytes_read']
+    print('RESULT ' + json.dumps(dict(cpus={cpus}, seconds=round(dt,2),
+        gb=round(br/1e9,3), gbps=round(br/1e9/dt,4))))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line.removeprefix("RESULT "))
+    raise RuntimeError(out.stderr[-2000:])
+
+
+def main() -> None:
+    shape = "1024,512,512"  # 0.54 GB uint16
+    results = [run_one(c, shape) for c in (4, 8, 16, 32)]
+    print(json.dumps({"workload": f"synth {shape} uint16 -> zarr v3 gzip-1",
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
