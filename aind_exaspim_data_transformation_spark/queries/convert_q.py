@@ -1,0 +1,100 @@
+"""Conversion pipeline under the oracle gate.
+
+``q_zarr_roundtrip_voxelsum`` runs the REAL pipeline end to end inside a
+query: synthetic tensor -> shard tasks -> writer UDF -> Zarr v3 store ->
+read every shard back -> per-shard voxel sums. The synthetic voxel value
+is the closed-form ``((z*SY + y)*SX + x) mod 65536``, so DuckDB can
+recompute every expected sum independently by enumerating coordinates —
+if any byte of the write/encode/decode path were wrong, the sums diverge.
+
+This is the strongest correctness statement the harness can make about
+the §2A conversion surface: not "stats look right" but "every voxel round
+trips".
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import ConvertJobSettings
+from ..zarrio.pipeline import convert_to_zarr
+from .registry import query
+
+_Z, _Y, _X = 64, 96, 80
+_SHARD = 32
+
+
+@query(
+    "q_zarr_roundtrip_voxelsum",
+    oracle=f"""
+WITH zc AS (SELECT unnest(range(0, {_Z})) AS z),
+coords AS (
+  SELECT z.z, y.y, x.x,
+    ((z.z * {_Y} + y.y) * {_X} + x.x) % 65536 AS val
+  FROM zc z
+  CROSS JOIN (SELECT unnest(range(0, {_Y})) AS y) y
+  CROSS JOIN (SELECT unnest(range(0, {_X})) AS x) x)
+SELECT z // {_SHARD} AS iz, y // {_SHARD} AS iy, x // {_SHARD} AS ix,
+  CAST(SUM(val) AS BIGINT) AS voxel_sum,
+  COUNT(*) AS n_voxels
+FROM coords
+GROUP BY 1, 2, 3
+""",
+)
+def q_zarr_roundtrip_voxelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.zarr_datasource import ZarrShardDataSource
+    from ..zarrio.format import read_array_metadata
+
+    tmp = tempfile.mkdtemp(prefix="zarr_oracle_")
+    store = os.path.join(tmp, "roundtrip.zarr")
+    convert_to_zarr(
+        spark,
+        ConvertJobSettings(
+            input_source=f"synth://{_Z},{_Y},{_X},1",
+            output_location=store,
+            chunk_shape=(16, 16, 16),
+            shard_shape=(_SHARD, _SHARD, _SHARD),
+            translate_pyramid=True,
+            codec="gzip",
+            codec_level=1,
+        ),
+    )
+    # Read the store back through the zarrshards DataSource and reduce
+    # each payload to its voxel sum (executor-side, Arrow-batched).
+    spark.dataSource.register(ZarrShardDataSource)
+    blocks = (
+        spark.read.format("zarrshards")
+        .option("path", store)
+        .option("level", "0")
+        .option("payload", "true")
+        .load()
+    )
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.payload, dtype=np.uint16)
+                out.append(
+                    (
+                        row.iz,
+                        row.iy,
+                        row.ix,
+                        int(arr.astype(np.int64).sum()),
+                        len(arr),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["iz", "iy", "ix", "voxel_sum", "n_voxels"]
+            )
+
+    return blocks.mapInPandas(
+        sums, "iz long, iy long, ix long, voxel_sum long, n_voxels long"
+    )

@@ -1,6 +1,8 @@
 """Physical-plan regression tests: the optimizations the 100 TB design
 relies on must be visible in the executed plan, not assumed."""
 
+from pyspark.sql import functions as F
+
 from aind_exaspim_data_transformation_spark.queries import QUERIES
 
 from conftest import SF_SMALL
@@ -56,3 +58,32 @@ def test_window_single_exchange(spark):
 def test_semi_join_for_exists(spark):
     plan = _plan(spark, "q04_order_priority")
     assert "LeftSemi" in plan
+
+
+def test_repartition_by_range_and_sort_within_partitions(spark):
+    """Range partitioning + partition-local sort: the write-side layout
+    pattern (cluster output files by key without a global sort)."""
+    from aind_exaspim_data_transformation_spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    df = orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+        "o_orderdate", "o_orderkey"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "rangepartitioning" in plan.lower()
+    # the sort is partition-local (no second exchange after the range one)
+    assert _tree(plan).count("Exchange") == 1
+    # and rows really are range-clustered: per-partition max <= next min
+    parts = df.select(
+        F.spark_partition_id().alias("p"), "o_orderdate"
+    ).groupBy("p").agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).orderBy("p").collect()
+    for a, b in zip(parts, parts[1:]):
+        assert a["hi"] <= b["lo"]
