@@ -53,8 +53,31 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("q_stream_sessions")  # rows-only: session merge order isn't SQL
+@query(
+    "q_stream_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) >= 900000000
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+islands AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Finite replay + complete mode => merged sessions equal the batch
+    # gaps-and-islands computation.
     name = _unique("stream_sessions")
     run_to_memory(
         stream_session_windows(spark, sf_dir), name, output_mode="complete"
