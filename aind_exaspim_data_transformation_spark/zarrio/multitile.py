@@ -20,7 +20,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import ConvertJobSettings
@@ -181,9 +181,29 @@ def convert_tiles_to_zarr(
     spark: SparkSession,
     tiles: list[tuple[str, str]],
     settings: ConvertJobSettings,
+    partition_to_process: int | None = None,
+    num_partitions: int | None = None,
 ) -> dict:
-    """Convert many tiles in ONE Spark action (global shard scheduling)."""
+    """Convert many tiles in ONE Spark action (global shard scheduling).
+
+    ``partition_to_process``/``num_partitions`` subset the global task
+    list deterministically (row-major order, round-robin) — the Spark
+    twin of the reference's SLURM-array partition protocol
+    (imaris_job.py:35-46, env var per array task). Inside one cluster
+    Spark schedules everything itself; the subset exists for resumable /
+    partial / multi-cluster runs, and re-running any subset is safe
+    because shard writes are idempotent.
+    """
     tasks, _ = build_global_tasks(spark, tiles, settings)
+    if partition_to_process is not None and num_partitions:
+        w = Window.orderBy(
+            "tile_path", "level", "iz", "iy", "ix"
+        )
+        tasks = (
+            tasks.withColumn("__rn", F.row_number().over(w) - 1)
+            .where(F.col("__rn") % num_partitions == partition_to_process)
+            .drop("__rn")
+        )
     n_parts = max(
         spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
     )
