@@ -52,8 +52,11 @@ def q_zarr_roundtrip_voxelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.zarr_datasource import ZarrShardDataSource
     from ..zarrio.format import read_array_metadata
 
-    tmp = tempfile.mkdtemp(prefix="zarr_oracle_")
-    store = os.path.join(tmp, "roundtrip.zarr")
+    # Fixed path + idempotent byte-identical writes => repeated harness
+    # runs reuse the same store instead of accumulating temp dirs.
+    store = os.path.join(
+        tempfile.gettempdir(), "zarr_oracle_roundtrip", "roundtrip.zarr"
+    )
     convert_to_zarr(
         spark,
         ConvertJobSettings(

@@ -140,6 +140,42 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pandas UDAF as a WINDOW function (bounded frame) — the vectorized
+# aggregate applied per sliding frame.
+# --------------------------------------------------------------------------
+@query(
+    "q_udf_pandas_window",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+    AS moving_total
+FROM orders
+""",
+)
+def q_udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    @F.pandas_udf(DoubleType())
+    def cents_sum(price: pd.Series) -> float:
+        return float(int((price * 100).round().astype("int64").sum())) / 100.0
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        cents_sum("o_totalprice").over(w).alias("moving_total"),
+    )
+
+
+# --------------------------------------------------------------------------
 # mapInArrow: batch-level pass-through transform on Arrow record batches.
 # --------------------------------------------------------------------------
 @query(
