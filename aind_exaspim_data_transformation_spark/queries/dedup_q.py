@@ -101,9 +101,12 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(words, j + 1), F.element_at(words, j + 2)
         ),
     )
+    # No distinct(): MIN over the shingle multiset equals MIN over the
+    # set, so deduplicating first would only add a shuffle. (The oracle
+    # keeps DISTINCT in its CTE — same result by the same argument.)
     tokens = docs.select(
         "doc_id", F.explode(shingle_list).alias("shingle")
-    ).distinct()
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
             f"sig_{i}"
@@ -159,20 +162,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would reshuffle the full signature relation per side).
     sigs = _minhash_signatures(spark, sf_dir)
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
-    bands = None
-    for b in range(N_BANDS):
-        band = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
-            ).alias("band_key"),
-            sig_arr.alias("sig"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
-    # Cache: both sides of the self-join reuse one materialization instead
-    # of recomputing the shingle+signature lineage twice.
-    bands = bands.cache()
+    band_keys = F.array(
+        *[
+            F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    # One posexplode pass (a 4-way union would recompute the signature
+    # lineage per branch); cache so both sides of the self-join reuse one
+    # materialization.
+    bands = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig"),
+        F.posexplode(band_keys).alias("band", "band_key"),
+    ).cache()
     x = bands.alias("x")
     y = bands.alias("y")
     matches = F.aggregate(
