@@ -567,21 +567,26 @@ def q_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Anti join: customers with no orders.
+# Anti join: customers with no finalized ('F') orders. (Plain "no orders"
+# matches zero rows in this data — the status filter keeps the anti-join
+# non-trivially selective at every scale factor.)
 # --------------------------------------------------------------------------
 @query(
     "q_anti_customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 """,
 )
 def q_anti_customers_without_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
