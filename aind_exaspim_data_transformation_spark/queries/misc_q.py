@@ -123,6 +123,23 @@ def q_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Engine-native hashes (xxhash64 / crc32 / murmur3) — rows-only: these
+# families are Spark-specific (no DuckDB twin); md5/sha256 carry the
+# cross-engine contract in q_hash_funcs. Used by the salting helpers and
+# shard-content fingerprints.
+# --------------------------------------------------------------------------
+@query("q_hash_engine_native")
+def q_hash_engine_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.xxhash64("p_name").alias("name_xxh64"),
+        F.crc32("p_brand").alias("brand_crc32"),
+        F.hash("p_name", "p_type").alias("compound_murmur3"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates — rows-only (sketches are engine-specific); the
 # test suite checks error bounds against exact counts instead.
 # --------------------------------------------------------------------------
