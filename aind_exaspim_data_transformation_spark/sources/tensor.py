@@ -37,6 +37,33 @@ class SourceMeta:
     unit: str = "um"
 
 
+def true_shapes_from_padded(
+    meta_shape: tuple[int, int, int],
+    padded_shapes: list[tuple[int, int, int]],
+) -> list[tuple[int, int, int]]:
+    """Derive unpadded per-level shapes from padded HDF5 dataset shapes.
+
+    Imaris pads each level's dataset to chunk multiples; the authoritative
+    full-resolution shape comes from DataSetInfo metadata. Coarser levels
+    carry no metadata shape, so it is reconstructed by scaling the
+    metadata shape with the padded-shape ratio per axis (the reference's
+    get_true_shape_for_level walk, utils/io_utils.py:468-525; regression
+    tests at tests/test_imaris_job.py:1309-1387).
+    """
+    if not padded_shapes:
+        return [meta_shape]
+    padded0 = padded_shapes[0]
+    out = [meta_shape]
+    for padded in padded_shapes[1:]:
+        out.append(
+            tuple(
+                max(1, round(m * p / p0))
+                for m, p, p0 in zip(meta_shape, padded, padded0)
+            )
+        )
+    return out
+
+
 class TensorSource:
     """Protocol: 3-D (Z, Y, X) pyramid reads by level + hyperslab."""
 
@@ -183,18 +210,10 @@ class Hdf5ImarisSource(TensorSource):
         voxel = tuple(
             (hi - lo) / n for lo, hi, n in zip(ext_min, ext_max, meta_shape)
         )
-        # True per-level shapes: walk padded-shape ratios from level 0
-        # (reference utils/io_utils.py:468-525).
-        shapes = [meta_shape]
-        padded0 = self._dataset(0).shape
-        for lvl in range(1, n_levels):
-            padded = self._dataset(lvl).shape
-            shapes.append(
-                tuple(
-                    max(1, round(m * p / p0))
-                    for m, p, p0 in zip(meta_shape, padded, padded0)
-                )
-            )
+        shapes = true_shapes_from_padded(
+            meta_shape,
+            [self._dataset(lvl).shape for lvl in range(n_levels)],
+        )
         self.meta = SourceMeta(
             n_levels=n_levels,
             dtype=str(self._dataset(0).dtype),
