@@ -140,6 +140,23 @@ def q_hash_engine_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Engine-native string functions (soundex / initcap / translate /
+# format_number) — rows-only: DuckDB lacks soundex and renders
+# initcap/format_number differently.
+# --------------------------------------------------------------------------
+@query("q_string_engine_native")
+def q_string_engine_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.soundex("c_name").alias("name_soundex"),
+        F.initcap(F.lower("c_mktsegment")).alias("segment_title"),
+        F.translate("c_name", "_", "-").alias("name_dashed"),
+        F.format_number(F.col("c_acctbal"), 2).alias("bal_formatted"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates — rows-only (sketches are engine-specific); the
 # test suite checks error bounds against exact counts instead.
 # --------------------------------------------------------------------------
