@@ -157,6 +157,47 @@ def q_string_engine_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unpivot / melt: wide per-status counts back to long form.
+# Oracle uses the portable UNION ALL formulation.
+# --------------------------------------------------------------------------
+@query(
+    "q_unpivot_segment_counts",
+    oracle="""
+WITH wide AS (
+  SELECT c_mktsegment,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_mktsegment)
+SELECT c_mktsegment, 'n_F' AS status_col, n_F AS n FROM wide
+UNION ALL
+SELECT c_mktsegment, 'n_O' AS status_col, n_O AS n FROM wide
+UNION ALL
+SELECT c_mktsegment, 'n_P' AS status_col, n_P AS n FROM wide
+""",
+)
+def q_unpivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("n_F"),
+            F.coalesce("O", F.lit(0)).alias("n_O"),
+            F.coalesce("P", F.lit(0)).alias("n_P"),
+        )
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["n_F", "n_O", "n_P"], "status_col", "n"
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates — rows-only (sketches are engine-specific); the
 # test suite checks error bounds against exact counts instead.
 # --------------------------------------------------------------------------

@@ -108,6 +108,55 @@ def q_stream_stateful_user_stats(
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user clicks
+    within the preceding 30 minutes, watermarks bounding both join
+    states. On a finite replay the result equals the batch range join."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.events import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    name = _unique("stream_stream_join")
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
+@query(
     "q_stream_dedup",
     oracle="""
 SELECT event_type, COUNT(*) AS n_unique
