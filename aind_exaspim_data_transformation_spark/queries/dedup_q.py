@@ -210,6 +210,48 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup clustering: connected components over the LSH candidate pairs —
+# pairs become clusters, each keeping its min-doc_id representative.
+# Oracle: transitive closure via WITH RECURSIVE, component = min reachable.
+# --------------------------------------------------------------------------
+def _cluster_sql() -> str:
+    pairs = _lsh_pairs_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+members AS (
+  SELECT a AS vertex, LEAST(a, MIN(b)) AS component
+  FROM reach GROUP BY a)
+SELECT component AS cluster_rep,
+  COUNT(*) AS cluster_size,
+  MIN(vertex) AS min_doc,
+  MAX(vertex) AS max_doc
+FROM members
+GROUP BY component
+"""
+
+
+@query("q_dedup_clusters", oracle=_cluster_sql())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.groupBy(F.col("component").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("vertex").alias("min_doc"),
+        F.max("vertex").alias("max_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash: 16-bit signature from salted-md5 token hashes. Each bit's +/-1
 # contribution is a portable CASE over one hex nibble of md5(word), so
 # Spark (via F.expr) and DuckDB compute identical bits.
