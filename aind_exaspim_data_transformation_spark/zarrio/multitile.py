@@ -58,17 +58,32 @@ def build_global_tasks(
     settings: ConvertJobSettings,
 ) -> tuple[DataFrame, dict[str, dict[int, ShardSpec]]]:
     """Probe every tile driver-side, create its stores, and emit the
-    global task rows. Returns (tasks DF, specs per tile)."""
+    global task rows (source-readable levels only: every level in
+    translate mode, level 0 in compute mode — computed levels run as
+    per-level downsample stages afterwards).
+    Returns (tasks DF, specs per tile)."""
+    from ..operators.downsample import downsampled_shape
+
     rows: list[tuple] = []
     all_specs: dict[str, dict[int, ShardSpec]] = {}
     sm = settings.superchunk_multiple
     for src_path, store in tiles:
         src = open_source(src_path)
-        shapes = list(src.meta.shapes)
+        if settings.translate_pyramid:
+            shapes = list(src.meta.shapes)
+            source_levels = len(shapes)
+        else:
+            shapes = [src.meta.shapes[0]]
+            for _ in range(1, settings.downsample_levels):
+                shapes.append(
+                    downsampled_shape(shapes[-1], settings.scale_factor)
+                )
+            source_levels = 1
         specs = _level_specs(settings, shapes, src.meta.dtype)
         all_specs[src_path] = specs
-        for lvl, shape in enumerate(shapes):
+        for lvl in range(len(shapes)):
             write_array_metadata(store, lvl, specs[lvl])
+        for lvl, shape in list(enumerate(shapes))[:source_levels]:
             shard = specs[lvl].shard_shape[2:]
             chunk = specs[lvl].chunk_shape[2:]
             import math
@@ -220,10 +235,74 @@ def convert_tiles_to_zarr(
         .collect()
     )
     per_tile = {r["tile_path"]: r.asDict() for r in stats}
-    return {
+    result = {
         "n_tiles": len(tiles),
         "n_shards": sum(r["n_shards"] for r in per_tile.values()),
         "bytes_read": sum(r["bytes_read"] for r in per_tile.values()),
         "bytes_written": sum(r["bytes_written"] for r in per_tile.values()),
         "tiles": per_tile,
     }
+
+    if not settings.translate_pyramid:
+        # Computed pyramid levels: one Spark action per level (sequential
+        # dependency) over the union of all tiles' level-k tasks would
+        # need per-row store routing; levels are tiny vs level 0, so a
+        # per-tile loop over the single-tile downsample stage keeps the
+        # code shared with the pipeline path.
+        from ..plans.grid import shard_tasks_df
+        from .pipeline import _make_downsample_writer, _run_stage
+
+        n_parts = max(
+            spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
+        )
+        ds_stats = []
+        for src_path, store in tiles:
+            specs = all_specs_for(src_path, tiles, settings)
+            shapes = [specs[lvl].shape[2:] for lvl in sorted(specs)]
+            for lvl in range(1, len(shapes)):
+                ltasks = shard_tasks_df(
+                    spark,
+                    {lvl: shapes[lvl]},
+                    {lvl: specs[lvl].shard_shape[2:]},
+                    settings.superchunk_multiple,
+                )
+                ds_stats.append(
+                    _run_stage(
+                        spark,
+                        ltasks,
+                        _make_downsample_writer(
+                            store,
+                            specs,
+                            {lvl - 1: shapes[lvl - 1]},
+                            settings.scale_factor,
+                            settings.downsample_mode,
+                        ),
+                        n_parts,
+                    )
+                )
+        result["downsample_stages"] = ds_stats
+    return result
+
+
+def all_specs_for(
+    src_path: str,
+    tiles: list[tuple[str, str]],
+    settings: ConvertJobSettings,
+) -> dict[int, ShardSpec]:
+    """Re-derive the per-level specs for one tile (same computation as
+    build_global_tasks; kept as a function so the downsample stage can
+    run without threading the dict through)."""
+    from ..operators.downsample import downsampled_shape
+
+    src = open_source(src_path)
+    if settings.translate_pyramid:
+        shapes = list(src.meta.shapes)
+    else:
+        shapes = [src.meta.shapes[0]]
+        for _ in range(1, settings.downsample_levels):
+            shapes.append(
+                downsampled_shape(shapes[-1], settings.scale_factor)
+            )
+    specs = _level_specs(settings, shapes, src.meta.dtype)
+    src.close()
+    return specs
