@@ -56,6 +56,28 @@ def test_downsampled_shape_matches_kernel_output(z, y, x, fz, fy, fx):
         assert out.shape == downsampled_shape((z, y, x), (fz, fy, fx))
 
 
+@settings(max_examples=40, deadline=None)
+@given(z=dims, y=dims, x=dims, fz=factors, fy=factors, fx=factors)
+def test_fast_kernel_paths_match_nan_stack_reference(z, y, x, fz, fy, fx):
+    """The vectorized mean/min/max reduce must agree with the NaN-stacked
+    formulation (the original definition of truncated-edge semantics)."""
+    from aind_exaspim_data_transformation_spark.operators.downsample import (
+        _stacked_windows,
+    )
+
+    rng = np.random.default_rng(z * 31 + y * 7 + x + fz * 131)
+    arr = rng.integers(0, 65535, size=(z, y, x), dtype=np.uint16)
+    stack = _stacked_windows(arr, (fz, fy, fx))
+    want = {
+        "mean": np.rint(np.nanmean(stack, axis=-1)).astype(np.uint16),
+        "min": np.rint(np.nanmin(stack, axis=-1)).astype(np.uint16),
+        "max": np.rint(np.nanmax(stack, axis=-1)).astype(np.uint16),
+    }
+    for mode, expected in want.items():
+        got = downsample_block(arr, (fz, fy, fx), mode)
+        np.testing.assert_array_equal(got, expected, err_msg=mode)
+
+
 @settings(max_examples=50, deadline=None)
 @given(x=st.integers(min_value=1, max_value=10**9))
 def test_iterated_halving_equals_direct_ceil(x):
