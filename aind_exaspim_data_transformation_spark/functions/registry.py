@@ -49,10 +49,11 @@ def register_engine_functions(spark: SparkSession) -> list[str]:
     spark.udf.register("engine_cosine", _cos, DoubleType())
     names.append("engine_cosine")
 
-    # whitespace tokenizer returning the word array
+    # whitespace tokenizer returning the word array (argless split():
+    # any whitespace run is one separator, no empty tokens)
     spark.udf.register(
         "engine_tokenize",
-        lambda s: s.split(" ") if s else [],
+        lambda s: s.split() if s else [],
         ArrayType(StringType()),
     )
     names.append("engine_tokenize")

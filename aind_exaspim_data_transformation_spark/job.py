@@ -104,11 +104,17 @@ def _settings_from_args(sys_args: list[str]) -> TileJobSettings:
     if args.config_file:
         with open(args.config_file) as f:
             return TileJobSettings.model_validate(json.load(f))
-    env = {
-        k.removeprefix("TRANSFORMATION_JOB_").lower(): v
-        for k, v in os.environ.items()
-        if k.startswith("TRANSFORMATION_JOB_")
-    }
+    env = {}
+    for k, v in os.environ.items():
+        if not k.startswith("TRANSFORMATION_JOB_"):
+            continue
+        key = k.removeprefix("TRANSFORMATION_JOB_").lower()
+        # JSON-decode structured values (tuples like [512,512,512],
+        # booleans, numbers); plain strings pass through unchanged.
+        try:
+            env[key] = json.loads(v)
+        except (json.JSONDecodeError, ValueError):
+            env[key] = v
     if env:
         return TileJobSettings.model_validate(env)
     raise SystemExit(

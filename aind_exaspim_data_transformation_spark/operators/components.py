@@ -41,6 +41,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    converged = False
     for _ in range(max_iterations):
         # candidate label per vertex: min over own label and neighbors'
         neighbor_labels = (
@@ -50,10 +51,14 @@ def connected_components(
             )
             .select(F.col("a").alias("vertex"), "component")
         )
+        # checkpoint BEFORE the convergence count so the count and the
+        # next iteration share one materialization (counting the
+        # un-checkpointed frame would compute the iteration twice)
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -64,7 +69,13 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter too large) — raise max_iterations"
+        )
     return labels

@@ -56,9 +56,20 @@ def salted_join(
     """Skew-resistant equi-join: the (large, skewed) left side gets a
     random-free deterministic salt derived from a secondary column hash;
     the (smaller) right side is exploded across all salt values. Result
-    equals ``left.join(right, key, how)`` exactly.
+    equals ``left.join(right, key, how)`` exactly for inner/left/semi
+    joins; right/full-outer would multiply unmatched right rows by
+    n_salts, so those are rejected.
     """
-    salt = (F.abs(F.xxhash64(*left.columns)) % n_salts).alias("__salt")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi joins, not {how!r}: "
+            "the exploded right side would duplicate unmatched right rows"
+        )
+    # pmod, not abs%: abs(Long.MIN_VALUE) is negative, which would yield
+    # a salt outside [0, n_salts) and silently drop that row.
+    h = F.xxhash64(*left.columns)
+    salt = ((h % n_salts + n_salts) % n_salts).alias("__salt")
     salted_left = left.withColumn("__salt", salt)
     salted_right = right.withColumn(
         "__salt",

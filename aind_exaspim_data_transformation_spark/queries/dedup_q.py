@@ -93,7 +93,10 @@ GROUP BY doc_id
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return _minhash_signatures_from(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_signatures_from(docs: DataFrame) -> DataFrame:
     words = F.split("text", " ")
     shingle_list = F.transform(
         F.sequence(F.lit(0), F.size(words) - 2),
@@ -104,7 +107,11 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No distinct(): MIN over the shingle multiset equals MIN over the
     # set, so deduplicating first would only add a shuffle. (The oracle
     # keeps DISTINCT in its CTE — same result by the same argument.)
-    tokens = docs.select(
+    # Single-word/empty docs produce no 2-gram shingles: filter them out
+    # BEFORE building the sequence — F.sequence(0, -1) yields a
+    # descending [0, -1] and element_at then throws on out-of-range
+    # indices (matches the oracle, where range(1, 1) is empty).
+    tokens = docs.where(F.size(words) >= 2).select(
         "doc_id", F.explode(shingle_list).alias("shingle")
     )
     aggs = [

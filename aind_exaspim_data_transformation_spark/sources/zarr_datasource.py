@@ -58,10 +58,20 @@ def _schema(with_payload: bool) -> StructType:
 
 
 class _ShardPartition(InputPartition):
-    def __init__(self, store: str, level: int, idx: tuple[int, ...]):
+    """Carries the resolved spec fields so executors never re-read
+    zarr.json (a 45k-shard scan would otherwise do 45k metadata reads)."""
+
+    def __init__(
+        self,
+        store: str,
+        level: int,
+        idx: tuple[int, ...],
+        spec_fields: tuple,
+    ):
         self.store = store
         self.level = level
         self.idx = idx
+        self.spec_fields = spec_fields
 
 
 class _ZarrShardReader(DataSourceReader):
@@ -79,19 +89,35 @@ class _ZarrShardReader(DataSourceReader):
         from ..zarrio.format import read_array_metadata
 
         spec = read_array_metadata(self.store, self.level)
+        fields = (
+            spec.shape,
+            spec.shard_shape,
+            spec.chunk_shape,
+            spec.dtype,
+            spec.codec,
+            spec.codec_level,
+            spec.fill_value,
+        )
         return [
-            _ShardPartition(self.store, self.level, idx)
+            _ShardPartition(self.store, self.level, idx, fields)
             for idx in product(*(range(g) for g in spec.shard_grid))
         ]
 
     def read(self, partition: _ShardPartition):
-        from ..zarrio.format import (
-            decode_shard,
-            read_array_metadata,
-            shard_path,
-        )
+        from ..zarrio.format import ShardSpec, decode_shard, shard_path
 
-        spec = read_array_metadata(partition.store, partition.level)
+        shape, shard_shape, chunk_shape, dtype, codec, lvl, fill = (
+            partition.spec_fields
+        )
+        spec = ShardSpec(
+            shape=shape,
+            shard_shape=shard_shape,
+            chunk_shape=chunk_shape,
+            dtype=dtype,
+            codec=codec,
+            codec_level=lvl,
+            fill_value=fill,
+        )
         idx = partition.idx
         path = shard_path(partition.store, partition.level, idx)
         if not os.path.exists(path):

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import ConvertJobSettings
+from ..job import _tile_store
 from ..zarrio.multitile import convert_tiles_to_zarr
 
 
@@ -45,12 +46,13 @@ def run_ingest(
     results: list[dict] = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # _tile_store keeps the naming identical to the batch job, so a
+        # backfill-then-stream deployment converges on one store per tile.
         tiles = [
             (
                 r["tile_path"].strip(),
-                os.path.join(
-                    output_root,
-                    os.path.basename(r["tile_path"].strip()) + ".zarr",
+                _tile_store(
+                    output_root, os.path.basename(r["tile_path"].strip())
                 ),
             )
             for r in batch_df.collect()

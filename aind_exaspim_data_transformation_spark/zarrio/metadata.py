@@ -59,6 +59,7 @@ def multiscales_metadata(
     origin_zyx: tuple[float, float, float] = (0.0, 0.0, 0.0),
     factors_zyx: tuple[float, float, float] = (2.0, 2.0, 2.0),
     channel_names: list[str] | None = None,
+    method: str = "mean",
 ) -> dict:
     """Root group attributes: OME-NGFF 0.5 multiscales + minimal omero."""
     origins, voxels = downscale_origins(
@@ -108,7 +109,7 @@ def multiscales_metadata(
                     "axes": axes_5d(),
                     "datasets": datasets,
                     "name": name,
-                    "metadata": {"method": "mean"},
+                    "metadata": {"method": method},
                 }
             ],
             "omero": omero,

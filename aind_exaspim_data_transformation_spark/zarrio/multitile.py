@@ -128,6 +128,7 @@ def build_global_tasks(
                 voxel_zyx=src.meta.voxel_size,
                 origin_zyx=src.meta.origin,
                 factors_zyx=tuple(float(f) for f in settings.scale_factor),
+                method=settings.downsample_mode,
             ),
         )
         src.close()
@@ -208,8 +209,18 @@ def convert_tiles_to_zarr(
     Spark schedules everything itself; the subset exists for resumable /
     partial / multi-cluster runs, and re-running any subset is safe
     because shard writes are idempotent.
+
+    Subsetting composes with TRANSLATE mode only: a computed pyramid
+    reads level 0 back from the store, which is incomplete until every
+    partition has run — downsampling from a partial level 0 would
+    silently bake fill-value zeros into the pyramid.
     """
-    tasks, _ = build_global_tasks(spark, tiles, settings)
+    if partition_to_process is not None and not settings.translate_pyramid:
+        raise ValueError(
+            "partition subsetting requires translate_pyramid=True; run the "
+            "compute-pyramid stage once after all partitions complete"
+        )
+    tasks, all_specs = build_global_tasks(spark, tiles, settings)
     if partition_to_process is not None and num_partitions:
         w = Window.orderBy(
             "tile_path", "level", "iz", "iy", "ix"
@@ -257,7 +268,7 @@ def convert_tiles_to_zarr(
         )
         ds_stats = []
         for src_path, store in tiles:
-            specs = all_specs_for(src_path, tiles, settings)
+            specs = all_specs[src_path]
             shapes = [specs[lvl].shape[2:] for lvl in sorted(specs)]
             for lvl in range(1, len(shapes)):
                 ltasks = shard_tasks_df(
@@ -282,27 +293,3 @@ def convert_tiles_to_zarr(
                 )
         result["downsample_stages"] = ds_stats
     return result
-
-
-def all_specs_for(
-    src_path: str,
-    tiles: list[tuple[str, str]],
-    settings: ConvertJobSettings,
-) -> dict[int, ShardSpec]:
-    """Re-derive the per-level specs for one tile (same computation as
-    build_global_tasks; kept as a function so the downsample stage can
-    run without threading the dict through)."""
-    from ..operators.downsample import downsampled_shape
-
-    src = open_source(src_path)
-    if settings.translate_pyramid:
-        shapes = list(src.meta.shapes)
-    else:
-        shapes = [src.meta.shapes[0]]
-        for _ in range(1, settings.downsample_levels):
-            shapes.append(
-                downsampled_shape(shapes[-1], settings.scale_factor)
-            )
-    specs = _level_specs(settings, shapes, src.meta.dtype)
-    src.close()
-    return specs

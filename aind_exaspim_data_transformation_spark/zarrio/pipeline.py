@@ -297,6 +297,7 @@ def convert_to_zarr(
             voxel_zyx=meta.voxel_size,
             origin_zyx=meta.origin,
             factors_zyx=tuple(float(f) for f in factor),
+            method=settings.downsample_mode,
         ),
     )
     src.close()

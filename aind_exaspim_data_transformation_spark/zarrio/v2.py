@@ -167,6 +167,7 @@ def convert_to_zarr_v2(
             voxel_zyx=meta.voxel_size,
             origin_zyx=meta.origin,
             factors_zyx=tuple(float(f) for f in settings.scale_factor),
+            method=settings.downsample_mode,
         ),
     )
 
