@@ -16,6 +16,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     multimodal_q,
     relational,
     relational2,
+    relational3,
     scalars,
     setops,
     similarity_q,
