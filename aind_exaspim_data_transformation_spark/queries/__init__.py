@@ -17,6 +17,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     relational,
     relational2,
     relational3,
+    relational4,
     scalars,
     setops,
     similarity_q,
