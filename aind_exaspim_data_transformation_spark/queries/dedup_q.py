@@ -97,6 +97,14 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures_from(docs: DataFrame) -> DataFrame:
+    # The per-doc hashing below is CPU-bound; make sure it fans out. A
+    # small single-row-group parquet file scans as ONE task no matter the
+    # split config, so at bench scale we pay a (tiny) text shuffle to use
+    # every core. At 100 TB the scan has >> defaultParallelism partitions
+    # and this branch never triggers — no shuffle on the real path.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     words = F.split("text", " ")
     shingle_list = F.transform(
         F.sequence(F.lit(0), F.size(words) - 2),
@@ -104,23 +112,34 @@ def _minhash_signatures_from(docs: DataFrame) -> DataFrame:
             " ", F.element_at(words, j + 1), F.element_at(words, j + 2)
         ),
     )
-    # No distinct(): MIN over the shingle multiset equals MIN over the
-    # set, so deduplicating first would only add a shuffle. (The oracle
-    # keeps DISTINCT in its CTE — same result by the same argument.)
+
+    # Row-local MIN: sig_i = array_min(transform(shingles, md5(salt||s))).
+    # MIN over the shingle multiset equals MIN over the set, so no
+    # distinct is needed (the oracle keeps DISTINCT in its CTE — same
+    # result by the same argument). Computing the minhash inside the row
+    # instead of explode+groupBy removes the signature shuffle entirely:
+    # at 100 TB the explode would multiply the corpus by ~shingle count
+    # and shuffle it, while this plan is embarrassingly parallel per doc.
+    # The closure factory matters: a `lambda s, i=i` would have two
+    # parameters, and transform() passes (element, index) to two-arg
+    # lambdas, silently replacing the salt with the array index.
+    def salted_min(i: int):
+        return F.array_min(
+            F.transform(
+                F.col("_shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)),
+            )
+        ).alias(f"sig_{i}")
+
     # Single-word/empty docs produce no 2-gram shingles: filter them out
     # BEFORE building the sequence — F.sequence(0, -1) yields a
     # descending [0, -1] and element_at then throws on out-of-range
     # indices (matches the oracle, where range(1, 1) is empty).
-    tokens = docs.where(F.size(words) >= 2).select(
-        "doc_id", F.explode(shingle_list).alias("shingle")
+    return (
+        docs.where(F.size(words) >= 2)
+        .withColumn("_shingles", shingle_list)
+        .select("doc_id", *[salted_min(i) for i in range(N_HASHES)])
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
-            f"sig_{i}"
-        )
-        for i in range(N_HASHES)
-    ]
-    return tokens.groupBy("doc_id").agg(*aggs)
 
 
 @query("q_minhash_signatures", oracle=_minhash_sig_sql())
@@ -167,7 +186,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs carry both signatures out of the bucket join — no re-join back
     # to the signature table (2 shuffles saved; at scale the join back
     # would reshuffle the full signature relation per side).
-    sigs = _minhash_signatures(spark, sf_dir)
+    #
+    # Cache at the SIGNATURE boundary, not the band boundary: projection
+    # collapsing would otherwise inline the (interpreted, non-codegen)
+    # minhash lambda chain into the sig array AND all four band keys —
+    # ~16 evaluations of the transform per row. Caching sigs makes every
+    # downstream reference a plain column read; the band rows derived
+    # from it are cheap (4 md5s of short strings) on each join side.
+    sigs = _minhash_signatures(spark, sf_dir).cache()
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
     band_keys = F.array(
         *[
@@ -176,13 +202,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # One posexplode pass (a 4-way union would recompute the signature
-    # lineage per branch); cache so both sides of the self-join reuse one
-    # materialization.
+    # lineage per branch).
     bands = sigs.select(
         "doc_id",
         sig_arr.alias("sig"),
         F.posexplode(band_keys).alias("band", "band_key"),
-    ).cache()
+    )
     x = bands.alias("x")
     y = bands.alias("y")
     matches = F.aggregate(
