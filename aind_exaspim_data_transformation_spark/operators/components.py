@@ -16,6 +16,41 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _union_find_components(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Driver-side union-find (path compression + min-label roots)."""
+    rows = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(v):
+        root = v
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[v] != root:  # path compression
+            parent[v], v = root, parent[v]
+        return root
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller so the
+            # representative is always the min vertex id (matches the
+            # distributed min-label propagation exactly)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(v, find(v)) for v in parent]
+    vtype = edges.schema[src].dataType
+    schema = StructType(
+        [
+            StructField("vertex", vtype, False),
+            StructField("component", vtype, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -23,12 +58,24 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    collect_threshold: int = 4_000_000,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id reachable.
 
     ``edges`` is an undirected edge list; isolated vertices simply don't
     appear (callers union them back if needed).
+
+    Adaptive strategy (same spirit as a broadcast-join threshold): when
+    the edge list is small enough to hold on the driver
+    (``collect_threshold``, default 4M edges), a driver-side union-find
+    answers in one job — the iterative path costs O(rounds) scheduled
+    jobs of fixed latency, which dwarfs the compute for small graphs.
+    Above the threshold (the 100 TB path) the distributed min-label
+    propagation with pointer jumping runs in O(log diameter) rounds.
+    Pass ``collect_threshold=0`` to force the distributed path.
     """
+    if collect_threshold and edges.count() <= collect_threshold:
+        return _union_find_components(edges, src, dst)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
@@ -51,25 +98,47 @@ def connected_components(
             )
             .select(F.col("a").alias("vertex"), "component")
         )
+        # Tag the vertex's own row so the SAME aggregation yields both the
+        # new label (min over union) and the previous one (min over own
+        # rows — each vertex has exactly one). This folds the convergence
+        # check into the propagation shuffle; a separate new-vs-old join
+        # per iteration would double the per-round job count.
+        merged = labels.withColumn("own", F.lit(True)).unionByName(
+            neighbor_labels.withColumn("own", F.lit(False))
+        )
+        propagated = merged.groupBy("vertex").agg(
+            F.min("component").alias("component"),
+            F.min(F.when(F.col("own"), F.col("component"))).alias(
+                "prev_component"
+            ),
+        )
+        # Pointer jumping: also adopt the label OF my current label
+        # (components are vertex ids, so they key back into the label
+        # table). Propagation alone needs O(diameter) rounds — long
+        # chains in the near-dup graph make that dozens of scheduled
+        # jobs; with the jump the round count drops to O(log diameter).
+        jump = propagated.select(
+            F.col("vertex").alias("jv"), F.col("component").alias("jc")
+        )
         # checkpoint BEFORE the convergence count so the count and the
         # next iteration share one materialization (counting the
         # un-checkpointed frame would compute the iteration twice)
         new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+            propagated.join(jump, propagated.component == F.col("jv"), "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("jc"), F.col("component")),
+                ).alias("component"),
+                "prev_component",
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(
-                labels.alias("o"),
-                F.col("n.vertex") == F.col("o.vertex"),
-            )
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("component") < F.col("prev_component")
+        ).count()
+        labels = new_labels.select("vertex", "component")
         if changed == 0:
             converged = True
             break

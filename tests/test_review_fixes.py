@@ -71,12 +71,14 @@ def test_salted_join_rejects_right_outer(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    # a chain of diameter 7 cannot converge in 2 iterations
+    # a chain of diameter 63 cannot converge in 2 pointer-jumping
+    # iterations (each round at most ~triples reach); force the
+    # distributed path — the union-find fast path has no iteration cap
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+        [(i, i + 1) for i in range(1, 64)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=2)
+        connected_components(edges, max_iterations=2, collect_threshold=0)
 
 
 def test_multiscales_metadata_records_method():
