@@ -363,21 +363,24 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.10
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.posexplode(F.split("text", " ")).alias("ord", "w"),
+    # Shingles are built row-locally (array transform over the split
+    # words), NOT via posexplode + window lead: the window formulation
+    # shuffles and sorts the whole token stream just to pair adjacent
+    # words that already sit next to each other inside the row.
+    words = F.split("text", " ")
+    shingle_list = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda j: F.concat_ws(
+            " ", F.element_at(words, j + 1), F.element_at(words, j + 2)
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("ord")
     shingles = (
-        words.withColumn("nxt", F.lead("w").over(w))
-        .where(F.col("nxt").isNotNull())
+        docs.where(F.size(words) >= 2)
         .select(
             "doc_id",
             "lang",
             "source",
-            F.concat_ws(" ", "w", "nxt").alias("shingle"),
+            F.explode(shingle_list).alias("shingle"),
         )
         .distinct()
     )
