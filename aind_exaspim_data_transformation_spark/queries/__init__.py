@@ -18,6 +18,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     relational2,
     relational3,
     relational4,
+    relational5,
     scalars,
     setops,
     similarity_q,
