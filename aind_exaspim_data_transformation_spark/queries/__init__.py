@@ -13,6 +13,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     events_q,
     grid_q,
     misc_q,
+    modern_q,
     multimodal_q,
     relational,
     relational2,
