@@ -1,6 +1,7 @@
-"""Physical-layout operators for 100 TB scale: bucketing and skew salting.
+"""Physical-layout operators for 100 TB scale: bucketing, skew salting,
+and Z-order (Morton-curve) clustering.
 
-These are the two knobs that kill the big shuffles:
+Bucketing and salting are the two knobs that kill the big shuffles:
 
 - **Bucketing** pre-partitions a table by join key at write time; two
   tables bucketed the same way join with ZERO shuffle (SortMergeJoin
@@ -11,6 +12,16 @@ These are the two knobs that kill the big shuffles:
   moderate skew automatically; salting is the explicit fix for extreme
   single-key skew (and works for aggregations too, via two-phase
   salted partial -> unsalted final).
+
+**Z-ordering** is the data-skipping knob: sorting a fact table by one
+column makes parquet min/max file stats selective for that column only;
+interleaving the bits of several columns' quantile-bucket ranks (the
+Morton curve) keeps every participating column locally clustered, so
+point/range predicates on ANY of them prune most files. This is what
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` does; here it is a pure DataFrame
+recipe: quantile-bucket each column (driver-side approxQuantile
+boundaries, broadcast into the expression), interleave bits JVM-side,
+``repartitionByRange`` + ``sortWithinPartitions`` on the key.
 """
 
 from __future__ import annotations
@@ -95,3 +106,91 @@ def salted_aggregate(
     )
     partial = salted.groupBy(key, "__salt").agg(*partial_aggs)
     return partial.groupBy(key).agg(*final_aggs)
+
+
+def morton_key(cols: list, bits: int = 8) -> "F.Column":
+    """Interleave the low ``bits`` bits of each (already bucketed,
+    non-negative integer) column into one Morton-curve key.
+
+    Bit i of column j lands at position ``i * len(cols) + j``. The whole
+    expression is plain shift/and/multiply arithmetic, so it stays inside
+    whole-stage codegen — no UDF.
+    """
+    ncols = len(cols)
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).cast("bigint") for c in cols
+    ]
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z + bit * F.lit(1 << (i * ncols + j))
+    return z
+
+
+def quantile_bucket(
+    df: DataFrame, col: str, n_buckets: int, rel_err: float = 0.01
+) -> "F.Column":
+    """Map ``col`` to its quantile-bucket rank in [0, n_buckets).
+
+    Boundaries come from one driver-side ``approxQuantile`` (a sampled
+    sketch — cheap even on a huge table) and are folded into the
+    expression as literals, so the per-row cost is a codegen'd
+    comparison fold, not a join. Quantile (not equi-width) bucketing
+    keeps the buckets balanced under skewed value distributions.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(col, qs, rel_err)))
+    # Ties collapse under skew / low cardinality, leaving k < n_buckets-1
+    # distinct boundaries. Scale the rank back onto [0, n_buckets) so the
+    # HIGH bits of the bucket stay informative — otherwise a low-cardinality
+    # column contributes only low interleave bits and the Morton curve
+    # degenerates to the other columns' order.
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    scale = max(1, n_buckets // (len(bounds) + 1))
+    return (expr * F.lit(scale)).cast("bigint")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 64,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton curve of
+    ``zorder_cols``.
+
+    ``repartitionByRange`` on the key gives contiguous curve segments per
+    file (range partitioning samples the key distribution, so files get
+    balanced row counts); the within-partition sort tightens per-file
+    min/max stats for every z-ordered column simultaneously.
+    """
+    buckets = [quantile_bucket(df, c, 1 << bits) for c in zorder_cols]
+    keyed = df.withColumn("__zkey", morton_key(buckets, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_covering_value(
+    spark: SparkSession, path: str, col: str, value
+) -> int:
+    """How many parquet files of ``path`` could contain ``col = value``,
+    judged by per-file min/max — the same stats a reader's file-skipping
+    uses. Layout quality metric for the z-order tests."""
+    df = spark.read.parquet(path)
+    per_file = (
+        df.select(F.input_file_name().alias("f"), F.col(col).alias("v"))
+        .groupBy("f")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    return per_file.where(
+        (F.col("lo") <= F.lit(value)) & (F.col("hi") >= F.lit(value))
+    ).count()

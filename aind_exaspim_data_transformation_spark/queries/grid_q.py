@@ -264,3 +264,45 @@ def q_origin_downscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.lit(2.0), F.col("level")).alias("voxel_size"),
         ((F.pow(F.lit(2.0), F.col("level")) - 1) / 2.0).alias("translation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) curve key, SQL-visible: interleave the low 4 bits of
+# two join-key residues. Both engines evaluate the identical shift/mask
+# integer arithmetic (operators/layout.py::morton_key is the engine
+# primitive; write_zordered uses it for data-skipping layout).
+# --------------------------------------------------------------------------
+def _morton_sql_terms(xcol: str, ycol: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_curve",
+    oracle=f"""
+WITH keys AS (
+  SELECT l_orderkey, l_linenumber,
+    l_partkey % 16 AS x, l_suppkey % 16 AS y
+  FROM lineitem WHERE l_orderkey < 2000)
+SELECT l_orderkey, l_linenumber,
+  CAST({_morton_sql_terms('x', 'y', 4)} AS BIGINT) AS zkey
+FROM keys
+""",
+)
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import morton_key
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") < 2000
+    )
+    x = F.pmod(F.col("l_partkey"), F.lit(16))
+    y = F.pmod(F.col("l_suppkey"), F.lit(16))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_key([x, y], bits=4).alias("zkey"),
+    )
