@@ -320,3 +320,101 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compound_md5"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# try_* error-safe functions: NULL instead of failure under ANSI
+# semantics. The oracle reproduces the NULL contract with CASE (same
+# values, engine-specific spelling).
+# --------------------------------------------------------------------------
+@query(
+    "q_try_functions",
+    oracle="""
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+       ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+            / (o_orderkey % 7)
+  END AS safe_ratio,
+  TRY_CAST(o_orderpriority AS INT) AS priority_as_int,
+  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_number
+FROM orders WHERE o_orderkey < 400
+""",
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import dec
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 400
+    )
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(
+            dec("o_totalprice").cast("double"),
+            F.pmod(F.col("o_orderkey"), F.lit(7)),
+        ).alias("safe_ratio"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("priority_as_int"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").alias(
+            "priority_number"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# EXACT percentiles (percentile_cont semantics) of an integer-valued
+# measure: for q in {.25, .5, .75} the interpolation weight g has at most
+# two fractional bits and the data are integers, so every intermediate of
+# either engine's interpolation formula is exactly representable and the
+# doubles match bit-for-bit (unlike arbitrary-double percentiles).
+# --------------------------------------------------------------------------
+@query(
+    "q_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q25,
+  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS q50,
+  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q75,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("q25"),
+        F.percentile(q, F.lit(0.5)).alias("q50"),
+        F.percentile(q, F.lit(0.75)).alias("q75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval arithmetic: calendar (month) and fixed-duration (hour/day)
+# intervals over dates and timestamps.
+# --------------------------------------------------------------------------
+@query(
+    "q_interval_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+    AS plus_3_months,
+  strftime(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY, '%Y-%m-%d')
+    AS minus_90_days,
+  strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S')
+    AS plus_36_hours
+FROM orders WHERE o_orderkey < 300
+""",
+)
+def q_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 300
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        fmt_date(F.expr("CAST(o_orderdate AS DATE) + INTERVAL '3' MONTH"),
+                 "plus_3_months"),
+        fmt_date(F.date_sub(d, 90), "minus_90_days"),
+        fmt_ts(F.expr("o_orderdate + INTERVAL '36' HOUR"), "plus_36_hours"),
+    )
