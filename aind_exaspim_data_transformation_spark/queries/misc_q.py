@@ -1,6 +1,6 @@
 """Remaining §2B scalar surface: map functions, null-safe equality,
-LIKE/RLIKE, and approximate aggregates (rows-only: approx results are
-engine-specific by construction).
+LIKE/RLIKE, engine-native hashes/strings (golden-checksum oracles), and
+approximate aggregates (error-bound-boolean oracles).
 """
 
 from __future__ import annotations
@@ -123,35 +123,83 @@ def q_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Engine-native hashes (xxhash64 / crc32 / murmur3) — rows-only: these
-# families are Spark-specific (no DuckDB twin); md5/sha256 carry the
-# cross-engine contract in q_hash_funcs. Used by the salting helpers and
-# shard-content fingerprints.
+# Engine-native hashes (xxhash64 / crc32 / murmur3). DuckDB has no twin
+# for these families, so the oracle pins GOLDEN CHECKSUMS instead: one row
+# of whole-table aggregates (bit_xor / sum of the hashes), with the
+# expected value selected by a CASE on COUNT(*) so the same oracle is
+# exact at sf0.001 / sf0.01 / sf0.1. The crc32 goldens are independently
+# verified against zlib.crc32 in tests/test_engine_functions.py; the
+# xxhash64/murmur3 goldens pin Spark's seed-42 implementations against
+# regression. Used by the salting helpers and shard-content fingerprints.
 # --------------------------------------------------------------------------
-@query("q_hash_engine_native")
+@query(
+    "q_hash_engine_native",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM part)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(CASE n_rows WHEN 200 THEN -5717840153824412150
+                   WHEN 2000 THEN 7205360855703747144
+                   WHEN 20000 THEN 2661647849670910908 END AS BIGINT)
+    AS xxh64_name_xor,
+  CAST(CASE n_rows WHEN 200 THEN 475215289216
+                   WHEN 2000 THEN 4702511336529
+                   WHEN 20000 THEN 47549258395965 END AS BIGINT)
+    AS crc32_brand_sum,
+  CAST(CASE n_rows WHEN 200 THEN -1252465049
+                   WHEN 2000 THEN 1373160254
+                   WHEN 20000 THEN -1115820817 END AS BIGINT)
+    AS murmur3_compound_xor
+FROM n
+""",
+)
 def q_hash_engine_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.xxhash64("p_name").alias("name_xxh64"),
-        F.crc32("p_brand").alias("brand_crc32"),
-        F.hash("p_name", "p_type").alias("compound_murmur3"),
+    return part.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(xxhash64(p_name))").alias("xxh64_name_xor"),
+        F.sum(F.crc32(F.col("p_brand").cast("binary")))
+        .cast("long")
+        .alias("crc32_brand_sum"),
+        F.expr("cast(bit_xor(hash(p_name, p_type)) as bigint)").alias(
+            "murmur3_compound_xor"
+        ),
     )
 
 
 # --------------------------------------------------------------------------
 # Engine-native string functions (soundex / initcap / translate /
-# format_number) — rows-only: DuckDB lacks soundex and renders
-# initcap/format_number differently.
+# format_number), now fully oracled:
+#  * soundex has no DuckDB twin, but every c_name is 'Customer#<digits>'
+#    (digits don't contribute), so the output is the constant 'C235' the
+#    oracle emits directly;
+#  * initcap over the single-word c_mktsegment = upper first + lower rest;
+#  * translate has identical Postgres semantics in both engines;
+#  * format_number(x, 2) = printf('%.2f') + one comma for x >= 1000
+#    (acctbal is generated in (-1000, 10000) with exactly 2 decimals, so
+#    no rounding ambiguity and at most one separator).
 # --------------------------------------------------------------------------
-@query("q_string_engine_native")
+@query(
+    "q_string_engine_native",
+    oracle="""
+SELECT c_custkey,
+  'C235' AS name_soundex,
+  upper(substr(lower(c_mktsegment), 1, 1))
+    || substr(lower(c_mktsegment), 2) AS segment_title,
+  translate(c_name, 'C#0', 'K-O') AS name_dashed,
+  CASE WHEN c_acctbal >= 1000
+    THEN substr(printf('%.2f', c_acctbal), 1, 1) || ','
+         || substr(printf('%.2f', c_acctbal), 2)
+    ELSE printf('%.2f', c_acctbal) END AS bal_formatted
+FROM customer
+""",
+)
 def q_string_engine_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
         F.soundex("c_name").alias("name_soundex"),
         F.initcap(F.lower("c_mktsegment")).alias("segment_title"),
-        F.translate("c_name", "_", "-").alias("name_dashed"),
+        F.translate("c_name", "C#0", "K-O").alias("name_dashed"),
         F.format_number(F.col("c_acctbal"), 2).alias("bal_formatted"),
     )
 
@@ -198,16 +246,46 @@ def q_unpivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate aggregates — rows-only (sketches are engine-specific); the
-# test suite checks error bounds against exact counts instead.
+# Approximate aggregates. The sketch outputs (HLL, t-digest-ish quantile)
+# are engine-specific, so the query emits ERROR-BOUND BOOLEANS the oracle
+# can assert exactly: approx_count_distinct(rsd=0.01) within 5% (a 5-sigma
+# bound — the default rsd 0.05 is 1-sigma and does exceed 5% on this
+# data) of the exact distinct count, and percentile_approx(accuracy=1000)
+# landing inside the exact [p45, p55] band (rank error <= n/1000 per the
+# Greenwald-Khanna bound, far tighter than that band). The exact distinct
+# count itself is hash-checked against DuckDB.
 # --------------------------------------------------------------------------
-@query("q_approx_aggregates")
+@query(
+    "q_approx_aggregates",
+    oracle="""
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+  1 AS approx_cd_within_5pct,
+  1 AS approx_median_in_p45_p55
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    g = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
-            "approx_median_price"
-        ),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_cd"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_amed"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx_cd") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.05
+        )
+        .cast("int")
+        .alias("approx_cd_within_5pct"),
+        F.col("_amed")
+        .between(F.col("_p45"), F.col("_p55"))
+        .cast("int")
+        .alias("approx_median_in_p45_p55"),
     )
