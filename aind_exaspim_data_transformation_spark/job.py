@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 from .config import ConvertJobSettings
 from .sources.acquisition import load_acquisition, translation_for_tile
 from .sources.discovery import discover_tiles
+from .zarrio.kvstore import kv_join
 from .zarrio.multitile import convert_tiles_to_zarr
 from .zarrio.pipeline import convert_to_zarr
 
@@ -44,7 +45,7 @@ def _tile_store(output_root: str, tile_name: str) -> str:
     base = tile_name
     for suffix in (".ims", ".h5"):
         base = base.removesuffix(suffix)
-    return os.path.join(output_root, f"{base}.zarr")
+    return kv_join(output_root, f"{base}.zarr")
 
 
 def run_job(spark: SparkSession, settings: TileJobSettings) -> JobResponse:

@@ -22,13 +22,13 @@ from __future__ import annotations
 
 import json
 import math
-import os
 from dataclasses import dataclass, field
 from itertools import product
 
 import numpy as np
 
 from .codecs import compress, crc32c, decompress
+from .kvstore import kv_get, kv_join, kv_put
 
 _MISSING = (2**64 - 1, 2**64 - 1)
 
@@ -156,12 +156,12 @@ def decode_shard(blob: bytes, spec: ShardSpec) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# Store layout (filesystem)
+# Store layout (local filesystem or S3, routed via zarrio.kvstore —
+# mirrors the reference's file-vs-s3 kvstore selection,
+# compress/imaris_to_zarr.py:1094-1125)
 # --------------------------------------------------------------------------
 def shard_path(store: str, level: int, shard_idx: tuple[int, ...]) -> str:
-    return os.path.join(
-        store, str(level), "c", *(str(i) for i in shard_idx)
-    )
+    return kv_join(store, str(level), "c", *(str(i) for i in shard_idx))
 
 
 def write_shard_file(
@@ -169,14 +169,9 @@ def write_shard_file(
 ) -> str:
     """Idempotent shard write: same key + same bytes => retry-safe under
     Spark speculative execution (the reference relies on the identical
-    property, SURVEY §7 'exactly-once sink semantics')."""
-    path = shard_path(store, level, shard_idx)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)  # atomic on POSIX
-    return path
+    property, SURVEY §7 'exactly-once sink semantics'). Local writes are
+    tmp+rename; S3 writes are single atomic PUTs."""
+    return kv_put(shard_path(store, level, shard_idx), blob)
 
 
 def _codecs_json(spec: ShardSpec) -> list[dict]:
@@ -231,10 +226,8 @@ def write_array_metadata(
         "attributes": attributes or {},
         "dimension_names": list(spec.dimension_names),
     }
-    path = os.path.join(store, str(level), "zarr.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(meta, f, indent=2)
+    path = kv_join(store, str(level), "zarr.json")
+    kv_put(path, json.dumps(meta, indent=2).encode("utf-8"))
     return path
 
 
@@ -247,16 +240,18 @@ def write_group_metadata(store: str, attributes: dict) -> str:
         "node_type": "group",
         "attributes": attributes,
     }
-    os.makedirs(store, exist_ok=True)
-    path = os.path.join(store, "zarr.json")
-    with open(path, "w") as f:
-        json.dump(meta, f, indent=2)
+    path = kv_join(store, "zarr.json")
+    kv_put(path, json.dumps(meta, indent=2).encode("utf-8"))
     return path
 
 
 def read_array_metadata(store: str, level: int) -> ShardSpec:
-    with open(os.path.join(store, str(level), "zarr.json")) as f:
-        meta = json.load(f)
+    blob = kv_get(kv_join(store, str(level), "zarr.json"))
+    if blob is None:
+        raise FileNotFoundError(
+            f"no zarr.json for level {level} in {store}"
+        )
+    meta = json.loads(blob)
     shard_cfg = meta["codecs"][0]["configuration"]
     inner = shard_cfg["codecs"]
     codec, level_ = "none", 0
@@ -298,11 +293,10 @@ def read_array_region(
         for s, e, ss in zip(starts, stops, spec.shard_shape)
     ]
     for idx in product(*(range(a, b + 1) for a, b in zip(lo, hi))):
-        path = shard_path(store, level, idx)
-        if not os.path.exists(path):
+        blob = kv_get(shard_path(store, level, idx))
+        if blob is None:
             continue
-        with open(path, "rb") as f:
-            shard = decode_shard(f.read(), spec)
+        shard = decode_shard(blob, spec)
         sh_start = [i * ss for i, ss in zip(idx, spec.shard_shape)]
         src_sl, dst_sl = [], []
         for s, e, s0, ss in zip(starts, stops, sh_start, spec.shard_shape):

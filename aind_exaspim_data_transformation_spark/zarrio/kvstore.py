@@ -1,0 +1,193 @@
+"""Key-value store routing for Zarr stores: local filesystem or S3.
+
+Mirrors the reference's TensorStore kvstore selection, which picks a
+``file`` or ``s3`` kvstore from the output URL and writes shards straight
+to the bucket (reference compress/imaris_to_zarr.py:90-138, 1094-1125).
+Here every store path flows through three primitives — ``kv_join`` /
+``kv_put`` / ``kv_get`` — so the sharded writer, metadata writers, and
+region reader are storage-agnostic:
+
+- plain paths            -> POSIX files (atomic tmp+rename puts);
+- ``s3://bucket/prefix`` -> boto3 ``put_object``/``get_object`` (S3 PUTs
+  are atomic per key, and shard bytes are deterministic, so retries and
+  speculative duplicates are idempotent exactly like the local sink);
+- ``s3+local://<root>//bucket/prefix`` -> the same S3 code path against
+  a filesystem-backed fake client rooted at ``<root>`` — lets tests (and
+  multi-process Spark workers) exercise the S3 branch with no
+  credentials or network.
+
+boto3 is import-gated; nothing here imports it until a real ``s3://``
+store is touched. Clients are cached per (process, root) and re-created
+after a fork so Spark's forked Python workers never share sockets.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from urllib.parse import urlparse
+
+_S3_SCHEMES = ("s3://", "s3+local://")
+
+# test/driver injection point: when set, used for every s3:// client
+_INJECTED_S3_CLIENT = None
+
+
+def set_s3_client(client) -> None:
+    """Inject an S3 client (driver-side tests); None restores boto3."""
+    global _INJECTED_S3_CLIENT
+    _INJECTED_S3_CLIENT = client
+
+
+def is_s3(path: str) -> bool:
+    return path.startswith(_S3_SCHEMES)
+
+
+def parse_store_url(path: str) -> tuple[str, str, str]:
+    """-> (scheme, bucket_or_root, key). scheme '' = local filesystem.
+
+    For ``s3://`` the second element is the bucket; for ``s3+local://``
+    it is the fake client's root directory and the key's first segment
+    is the bucket (split later by ``_fake_bucket``).
+    """
+    if path.startswith("s3://"):
+        parts = urlparse(path)
+        return "s3", parts.netloc, parts.path.lstrip("/")
+    if path.startswith("s3+local://"):
+        # s3+local://<abs-root>//<bucket>/<key>: the '//' marker splits
+        # the fake client's root directory from the bucket/key part.
+        rest = "/" + path[len("s3+local://") :].lstrip("/")
+        root, sep, key = rest.partition("//")
+        if not sep:
+            raise ValueError(
+                f"s3+local URL must be s3+local://<root>//<key>: {path!r}"
+            )
+        return "s3+local", root, key.lstrip("/")
+    return "", "", path
+
+
+class _FakeBody:
+    def __init__(self, data: bytes):
+        self._b = io.BytesIO(data)
+
+    def read(self) -> bytes:
+        return self._b.read()
+
+
+class _NoSuchKey(Exception):
+    pass
+
+
+class FilesystemS3Client:
+    """Minimal boto3-s3-shaped client persisting objects under a local
+    root — shared state lives on disk, so independent Spark worker
+    processes all see the same "bucket"."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, bucket: str, key: str) -> str:
+        return os.path.join(self.root, bucket, *key.split("/"))
+
+    def put_object(self, Bucket: str, Key: str, Body: bytes, **_):
+        path = self._path(Bucket, Key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(Body if isinstance(Body, bytes) else Body.read())
+        os.replace(tmp, path)
+        return {}
+
+    def get_object(self, Bucket: str, Key: str, **_):
+        try:
+            with open(self._path(Bucket, Key), "rb") as f:
+                return {"Body": _FakeBody(f.read())}
+        except FileNotFoundError:
+            raise _NoSuchKey(f"s3+local://{self.root}//{Key}")
+
+
+_CLIENT_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _client(scheme: str, root: str):
+    if scheme == "s3" and _INJECTED_S3_CLIENT is not None:
+        return _INJECTED_S3_CLIENT
+    cache_key = (os.getpid(), f"{scheme}:{root}")
+    client = _CLIENT_CACHE.get(cache_key)
+    if client is None:
+        if scheme == "s3+local":
+            client = FilesystemS3Client(root)
+        else:  # pragma: no cover - needs credentials/network
+            import boto3
+
+            client = boto3.client("s3")
+        _CLIENT_CACHE.clear()  # drop pre-fork clients
+        _CLIENT_CACHE[cache_key] = client
+    return client
+
+
+def _is_missing_err(exc: Exception) -> bool:
+    if isinstance(exc, _NoSuchKey) or type(exc).__name__ == "NoSuchKey":
+        return True
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        code = str(resp.get("Error", {}).get("Code", ""))
+        return code in ("NoSuchKey", "404", "NotFound")
+    return False
+
+
+def kv_join(base: str, *parts: str) -> str:
+    """Join path segments under a store root, scheme-aware."""
+    if is_s3(base):
+        return "/".join([base.rstrip("/")] + [str(p) for p in parts])
+    return os.path.join(base, *(str(p) for p in parts))
+
+
+def kv_put(path: str, blob: bytes) -> str:
+    """Idempotent single-object write (atomic rename locally, atomic PUT
+    on S3); same key + same bytes => retry/speculation safe."""
+    scheme, bucket_or_root, key = parse_store_url(path)
+    if scheme:
+        bucket, k = (
+            (bucket_or_root, key) if scheme == "s3" else _fake_bucket(key)
+        )
+        _client(scheme, bucket_or_root).put_object(
+            Bucket=bucket, Key=k, Body=blob
+        )
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic on POSIX
+    return path
+
+
+def kv_get(path: str) -> bytes | None:
+    """Read one object; None when the key doesn't exist (missing shards
+    are legal — the reader fills with fill_value)."""
+    scheme, bucket_or_root, key = parse_store_url(path)
+    if scheme:
+        client = _client(scheme, bucket_or_root)
+        bucket, k = (
+            (bucket_or_root, key)
+            if scheme == "s3"
+            else _fake_bucket(key)
+        )
+        try:
+            return client.get_object(Bucket=bucket, Key=k)["Body"].read()
+        except Exception as exc:
+            if _is_missing_err(exc):
+                return None
+            raise
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
+def _fake_bucket(key: str) -> tuple[str, str]:
+    """s3+local keys are <bucket>/<object-key>."""
+    bucket, _, rest = key.partition("/")
+    return bucket, rest
