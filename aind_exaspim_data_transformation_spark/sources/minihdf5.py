@@ -1,0 +1,423 @@
+"""Minimal pure-Python HDF5 subset (reader + writer).
+
+h5py is not installed in every environment this engine runs in, but the
+reference's subtlest correctness hazards live in its HDF5 branch: scalar
+attributes stored as byte-character arrays decoded via ``.tobytes()``
+(reference utils/io_utils.py:461-466) and chunk-padded dataset shapes
+that must be overridden by the DataSetInfo metadata shape (:430-525,
+regression tests tests/test_imaris_job.py:1309-1387). This module lets
+pytest exercise ``Hdf5ImarisSource`` end-to-end by implementing a small,
+honest subset of the REAL HDF5 binary format, re-derived from the public
+HDF5 File Format Specification (version 0 superblock):
+
+- superblock v0; version-1 object headers (no continuation blocks);
+- "old-style" groups: symbol-table message -> v1 B-tree (single leaf)
+  + local heap + SNOD;
+- contiguous (layout class 1) datasets of little-endian fixed-point
+  types, read by memmap so hyperslab slicing touches only needed pages;
+- version-1 attribute messages; 1-byte string element type (class 3,
+  size 1) so attributes round-trip as the ``S1`` byte arrays whose
+  ``.tobytes()`` decode the Imaris quirk requires.
+
+The h5py-shaped surface (``File``/``Group``/``Dataset``/``.attrs``) is
+exactly what ``Hdf5ImarisSource`` consumes; when h5py exists it wins (see
+``tensor.open_h5``), and files written here are spec-conformant so h5py
+can cross-check them (tests/test_imaris_hdf5.py gates that on import).
+
+Deliberately NOT supported: chunked/compressed layouts, v2 B-trees,
+fractal heaps, >1 B-tree level (the writer caps children per group well
+below the leaf k), non-ASCII link names.
+"""
+
+from __future__ import annotations
+
+import mmap
+import os
+import struct
+
+import numpy as np
+
+SIGNATURE = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# message type ids
+MSG_DATASPACE = 0x0001
+MSG_DATATYPE = 0x0003
+MSG_FILL_VALUE = 0x0005
+MSG_LAYOUT = 0x0008
+MSG_CONTINUATION = 0x0010
+MSG_ATTRIBUTE = 0x000C
+MSG_SYMBOL_TABLE = 0x0011
+
+_FIXED_DTYPES = {1: "u1", 2: "u2", 4: "u4", 8: "u8"}
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+# ==========================================================================
+# Writer
+# ==========================================================================
+class _Writer:
+    """Append-only allocator over a bytearray; superblock patched last."""
+
+    def __init__(self):
+        self.buf = bytearray(96)  # superblock placeholder
+
+    def alloc(self, blob: bytes) -> int:
+        addr = len(self.buf)
+        self.buf += blob
+        return addr
+
+    # -- low-level records ------------------------------------------------
+    def _message(self, mtype: int, body: bytes) -> bytes:
+        body = _pad8(body)
+        return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+    def _object_header(self, messages: list[tuple[int, bytes]]) -> int:
+        body = b"".join(self._message(t, b) for t, b in messages)
+        prefix = struct.pack("<BxHI", 1, len(messages), 1)
+        prefix += struct.pack("<I", len(body)) + b"\x00" * 4
+        return self.alloc(prefix + body)
+
+    def _dataspace_body(self, dims: tuple[int, ...]) -> bytes:
+        return struct.pack("<BBB5x", 1, len(dims), 0) + b"".join(
+            struct.pack("<Q", d) for d in dims
+        )
+
+    def _datatype_body(self, dt: np.dtype) -> bytes:
+        dt = np.dtype(dt)
+        if dt.kind == "u" and dt.itemsize in _FIXED_DTYPES:
+            # fixed-point class 0 v1, little-endian, unsigned
+            return struct.pack(
+                "<B3BIHH", 0x10, 0, 0, 0, dt.itemsize, 0, dt.itemsize * 8
+            )
+        if dt == np.dtype("S1"):
+            # string class 3 v1, null-terminated, ASCII, 1 byte
+            return struct.pack("<B3BI", 0x13, 0, 0, 0, 1)
+        raise ValueError(f"minihdf5 writer: unsupported dtype {dt}")
+
+    def _attribute_body(self, name: str, value: np.ndarray) -> bytes:
+        value = np.ascontiguousarray(value)
+        name_b = name.encode("ascii") + b"\x00"
+        dt_b = self._datatype_body(value.dtype)
+        ds_b = self._dataspace_body(value.shape)
+        return (
+            struct.pack("<BxHHH", 1, len(name_b), len(dt_b), len(ds_b))
+            + _pad8(name_b)
+            + _pad8(dt_b)
+            + _pad8(ds_b)
+            + value.tobytes(order="C")
+        )
+
+    # -- nodes -------------------------------------------------------------
+    def write_dataset(
+        self, data: np.ndarray, attrs: dict[str, np.ndarray] | None = None
+    ) -> int:
+        data = np.ascontiguousarray(data)
+        le = data.astype(data.dtype.newbyteorder("<"), copy=False)
+        raw_addr = self.alloc(le.tobytes(order="C"))
+        messages = [
+            (MSG_DATASPACE, self._dataspace_body(data.shape)),
+            (MSG_DATATYPE, self._datatype_body(data.dtype)),
+            # fill value v2, undefined (no fill written)
+            (MSG_FILL_VALUE, struct.pack("<BBBB", 2, 1, 0, 0)),
+            (
+                MSG_LAYOUT,
+                struct.pack("<BBQQ", 3, 1, raw_addr, data.nbytes),
+            ),
+        ]
+        for aname, aval in (attrs or {}).items():
+            messages.append((MSG_ATTRIBUTE, self._attribute_body(aname, aval)))
+        return self._object_header(messages)
+
+    def write_group(
+        self,
+        children: dict[str, int],
+        attrs: dict[str, np.ndarray] | None = None,
+    ) -> int:
+        """children: link name -> object header address."""
+        names = sorted(children)  # SNOD entries must be name-ordered
+        if len(names) > 4 * 4:  # stay far below one leaf's 2k=8 capacity
+            raise ValueError("minihdf5 writer: too many links in one group")
+        # local heap: empty string at offset 0, then each name
+        heap = bytearray(b"\x00" * 8)
+        offsets = {}
+        for n in names:
+            offsets[n] = len(heap)
+            heap += _pad8(n.encode("ascii") + b"\x00")
+        heap_data_addr_pos = None
+        header = struct.pack("<4sB3xQQ", b"HEAP", 0, len(heap), UNDEF)
+        heap_addr = self.alloc(header + struct.pack("<Q", 0))
+        heap_data_addr_pos = heap_addr + len(header)
+        heap_data_addr = self.alloc(bytes(heap))
+        self.buf[heap_data_addr_pos : heap_data_addr_pos + 8] = struct.pack(
+            "<Q", heap_data_addr
+        )
+        # SNOD with every entry (one leaf)
+        entries = b""
+        for n in names:
+            entries += struct.pack(
+                "<QQI4x16x", offsets[n], children[n], 0
+            )
+        snod_addr = self.alloc(
+            struct.pack("<4sBxH", b"SNOD", 1, len(names)) + entries
+        )
+        # B-tree v1, node type 0, level 0, one child (zero for an empty
+        # group — attribute-only groups like DataSetInfo/Image are legal)
+        n_entries = 1 if names else 0
+        btree = struct.pack(
+            "<4sBBHQQ", b"TREE", 0, 0, n_entries, UNDEF, UNDEF
+        )
+        if names:
+            btree += struct.pack("<Q", 0)  # key 0: empty string offset
+            btree += struct.pack("<Q", snod_addr)
+            btree += struct.pack("<Q", offsets[names[-1]])  # key: last name
+        btree_addr = self.alloc(btree)
+        messages = [
+            (MSG_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, heap_addr))
+        ]
+        for aname, aval in (attrs or {}).items():
+            messages.append((MSG_ATTRIBUTE, self._attribute_body(aname, aval)))
+        return self._object_header(messages)
+
+    def finish(self, root_addr: int) -> bytes:
+        sb = SIGNATURE
+        sb += struct.pack("<8B", 0, 0, 0, 0, 0, 8, 8, 0)
+        sb += struct.pack("<HHI", 4, 16, 0)
+        sb += struct.pack("<QQQQ", 0, UNDEF, len(self.buf), UNDEF)
+        sb += struct.pack("<QQI4x16x", 0, root_addr, 0)
+        assert len(sb) == 96
+        self.buf[:96] = sb
+        return bytes(self.buf)
+
+
+def write_file(path: str, tree: dict) -> str:
+    """Write a nested dict tree to an HDF5 file.
+
+    ``tree`` values: nested dict = group; np.ndarray = dataset. A group
+    dict may carry an ``"@attrs"`` key (dict of name -> np.ndarray of S1
+    chars, as Imaris stores scalars).
+    """
+    w = _Writer()
+
+    def emit(node: dict) -> int:
+        children = {}
+        for name, val in node.items():
+            if name == "@attrs":
+                continue
+            if isinstance(val, dict):
+                children[name] = emit(val)
+            else:
+                children[name] = w.write_dataset(np.asarray(val))
+        return w.write_group(children, node.get("@attrs"))
+
+    root = emit(tree)
+    blob = w.finish(root)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return path
+
+
+def str_attr(value) -> np.ndarray:
+    """Encode a scalar the way Imaris does: an array of 1-byte chars, so
+    readers must ``.tobytes()`` it (the reference quirk)."""
+    s = str(value).encode("ascii")
+    return np.frombuffer(s, dtype="S1").copy()
+
+
+# ==========================================================================
+# Reader
+# ==========================================================================
+class Dataset:
+    def __init__(self, path: str, shape, dtype, data_addr, attrs):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.attrs = attrs
+        self._mm = np.memmap(
+            path, dtype=self.dtype, mode="r", offset=data_addr,
+            shape=self.shape, order="C",
+        )
+
+    def __getitem__(self, sl):
+        return np.asarray(self._mm[sl])
+
+
+class Group:
+    def __init__(self, file: "File", links: dict[str, int], attrs):
+        self._file = file
+        self._links = links
+        self.attrs = attrs
+
+    def __contains__(self, key: str) -> bool:
+        return self._file._resolve(self, key) is not None
+
+    def __getitem__(self, key: str):
+        node = self._file._resolve(self, key)
+        if node is None:
+            raise KeyError(key)
+        return node
+
+
+class File(Group):
+    """h5py-shaped reader for the subset this module writes."""
+
+    def __init__(self, path: str, mode: str = "r"):
+        if mode != "r":
+            raise ValueError("minihdf5.File is read-only; use write_file")
+        self.path = path
+        # mmap, not read(): only the metadata pages actually touched are
+        # paged in, so opening a multi-GB .ims stays cheap on executors.
+        self._fh = open(path, "rb")
+        self._raw = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        if self._raw[:8] != SIGNATURE:
+            raise ValueError(f"not an HDF5 file: {path!r}")
+        if self._raw[8] != 0:
+            raise ValueError("minihdf5: only superblock v0 supported")
+        if self._raw[13] != 8 or self._raw[14] != 8:
+            raise ValueError("minihdf5: only 8-byte offsets/lengths")
+        root_addr = struct.unpack_from("<Q", self._raw, 64)[0]
+        links, attrs = self._read_object(root_addr)
+        super().__init__(self, links, attrs)
+
+    def close(self) -> None:
+        self._raw.close()
+        self._fh.close()
+
+    # -- parsing -----------------------------------------------------------
+    def _read_object(self, addr: int):
+        """-> (links | None, attrs) for groups, or Dataset for datasets."""
+        version, n_msgs, _refs, body_size = struct.unpack_from(
+            "<BxHII", self._raw, addr
+        )
+        if version != 1:
+            raise ValueError("minihdf5: only v1 object headers")
+        pos, end = addr + 16, addr + 16 + body_size
+        attrs: dict[str, np.ndarray] = {}
+        links = None
+        shape = dtype = data_addr = None
+        for _ in range(n_msgs):
+            if pos >= end:
+                break
+            mtype, msize, _flags = struct.unpack_from("<HHB", self._raw, pos)
+            body = self._raw[pos + 8 : pos + 8 + msize]
+            pos += 8 + msize
+            if mtype == MSG_SYMBOL_TABLE:
+                btree_addr, heap_addr = struct.unpack("<QQ", body[:16])
+                links = self._read_group_links(btree_addr, heap_addr)
+            elif mtype == MSG_DATASPACE:
+                shape = self._parse_dataspace(body)
+            elif mtype == MSG_DATATYPE:
+                dtype = self._parse_datatype(body)
+            elif mtype == MSG_LAYOUT:
+                v, cls = body[0], body[1]
+                if v != 3 or cls != 1:
+                    raise ValueError(
+                        "minihdf5: only v3 contiguous layout supported"
+                    )
+                data_addr = struct.unpack("<Q", body[2:10])[0]
+            elif mtype == MSG_ATTRIBUTE:
+                name, value = self._parse_attribute(body)
+                attrs[name] = value
+            elif mtype == MSG_CONTINUATION:
+                raise ValueError(
+                    "minihdf5: header continuation blocks not supported"
+                )
+        if links is not None:
+            return links, attrs
+        return Dataset(self.path, shape, dtype, data_addr, attrs)
+
+    def _read_group_links(self, btree_addr: int, heap_addr: int):
+        sig, _v, heap_size, _free = struct.unpack_from(
+            "<4sB3xQQ", self._raw, heap_addr
+        )
+        assert sig == b"HEAP", "bad local heap signature"
+        heap_data = struct.unpack_from("<Q", self._raw, heap_addr + 24)[0]
+
+        def heap_name(off: int) -> str:
+            endb = self._raw.find(b"\x00", heap_data + off)
+            return self._raw[heap_data + off : endb].decode("ascii")
+
+        links: dict[str, int] = {}
+
+        def walk(addr: int) -> None:
+            sig, ntype, level, used = struct.unpack_from(
+                "<4sBBH", self._raw, addr
+            )
+            assert sig == b"TREE" and ntype == 0, "bad group B-tree node"
+            pos = addr + 8 + 16  # skip siblings
+            children = []
+            for i in range(used):
+                pos += 8  # key i
+                children.append(struct.unpack_from("<Q", self._raw, pos)[0])
+                pos += 8
+            for child in children:
+                if level > 0:
+                    walk(child)
+                    continue
+                csig, _v, nsyms = struct.unpack_from(
+                    "<4sBxH", self._raw, child
+                )
+                assert csig == b"SNOD", "bad symbol node signature"
+                epos = child + 8
+                for _ in range(nsyms):
+                    name_off, oh_addr = struct.unpack_from(
+                        "<QQ", self._raw, epos
+                    )
+                    links[heap_name(name_off)] = oh_addr
+                    epos += 40
+
+        walk(btree_addr)
+        return links
+
+    def _parse_dataspace(self, body: bytes) -> tuple[int, ...]:
+        version, rank, flags = body[0], body[1], body[2]
+        if version != 1:
+            raise ValueError("minihdf5: only v1 dataspace")
+        return struct.unpack_from(f"<{rank}Q", body, 8)
+
+    def _parse_datatype(self, body: bytes) -> np.dtype:
+        cls = body[0] & 0x0F
+        bits = body[1:4]
+        size = struct.unpack("<I", body[4:8])[0]
+        if cls == 0:  # fixed point
+            if bits[0] & 0x01:
+                raise ValueError("minihdf5: big-endian not supported")
+            kind = "i" if bits[0] & 0x08 else "u"
+            return np.dtype(f"<{kind}{size}")
+        if cls == 3:  # string
+            return np.dtype(f"S{size}")
+        raise ValueError(f"minihdf5: unsupported datatype class {cls}")
+
+    def _parse_attribute(self, body: bytes):
+        _v, name_size, dt_size, ds_size = struct.unpack_from("<BxHHH", body)
+        pos = 8
+        name = body[pos : pos + name_size].split(b"\x00")[0].decode("ascii")
+        pos += len(_pad8(b"\x00" * name_size))
+        dtype = self._parse_datatype(body[pos : pos + dt_size])
+        pos += len(_pad8(b"\x00" * dt_size))
+        shape = self._parse_dataspace(body[pos : pos + ds_size])
+        pos += len(_pad8(b"\x00" * ds_size))
+        n = int(np.prod(shape)) if shape else 1
+        data = body[pos : pos + n * dtype.itemsize]
+        return name, np.frombuffer(data, dtype=dtype).reshape(shape).copy()
+
+    # -- path traversal ----------------------------------------------------
+    def _resolve(self, start: Group, key: str):
+        node = start
+        for part in key.strip("/").split("/"):
+            if not isinstance(node, Group):
+                return None
+            addr = node._links.get(part)
+            if addr is None:
+                return None
+            parsed = self._read_object(addr)
+            if isinstance(parsed, Dataset):
+                node = parsed
+            else:
+                links, attrs = parsed
+                node = Group(self, links, attrs)
+        return node

@@ -27,6 +27,21 @@ import numpy as np
 IMARIS_DATA_PATH = "DataSet/ResolutionLevel {l}/TimePoint {t}/Channel {c}/Data"
 
 
+def open_h5(path: str):
+    """Open an HDF5 file with h5py when installed, else the built-in
+    pure-Python subset reader (sources/minihdf5.py) — same ``File`` /
+    ``Group`` / ``Dataset`` / ``.attrs`` surface either way, so the
+    Imaris branch is exercised even where h5py is absent."""
+    try:
+        import h5py
+
+        return h5py.File(path, "r")
+    except ImportError:
+        from . import minihdf5
+
+        return minihdf5.File(path, "r")
+
+
 @dataclass
 class SourceMeta:
     n_levels: int
@@ -177,17 +192,77 @@ class SyntheticSource(TensorSource):
         return flat.astype(np.uint16)
 
 
+def write_imaris_file(
+    path: str,
+    levels: list[np.ndarray],
+    meta_shape: tuple[int, int, int] | None = None,
+    ext_min: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    voxel_size: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    timepoint: int = 0,
+    channel: int = 0,
+) -> str:
+    """Write a minimal Imaris-layout HDF5 file (test fixture twin of the
+    reference's fixture writer, tests/test_imaris_job.py).
+
+    ``levels`` are the PADDED per-level arrays exactly as stored on disk;
+    ``meta_shape`` is the authoritative unpadded full-res shape recorded
+    in DataSetInfo (defaults to levels[0].shape, i.e. no padding).
+    Scalar attrs are stored as byte-char arrays — the quirk readers must
+    ``.tobytes()`` through (reference utils/io_utils.py:461-466).
+    """
+    from . import minihdf5
+
+    mz, my, mx = meta_shape or levels[0].shape
+    ext_max = (
+        ext_min[0] + voxel_size[0] * mz,
+        ext_min[1] + voxel_size[1] * my,
+        ext_min[2] + voxel_size[2] * mx,
+    )
+    a = minihdf5.str_attr
+    res_levels = {
+        f"ResolutionLevel {lvl}": {
+            f"TimePoint {timepoint}": {
+                f"Channel {channel}": {
+                    "Data": arr,
+                    "@attrs": {
+                        "ImageSizeZ": a(arr.shape[0]),
+                        "ImageSizeY": a(arr.shape[1]),
+                        "ImageSizeX": a(arr.shape[2]),
+                    },
+                }
+            }
+        }
+        for lvl, arr in enumerate(levels)
+    }
+    tree = {
+        "DataSet": res_levels,
+        "DataSetInfo": {
+            "Image": {
+                "@attrs": {
+                    "Z": a(mz), "Y": a(my), "X": a(mx),
+                    "ExtMin2": a(ext_min[0]),
+                    "ExtMin1": a(ext_min[1]),
+                    "ExtMin0": a(ext_min[2]),
+                    "ExtMax2": a(ext_max[0]),
+                    "ExtMax1": a(ext_max[1]),
+                    "ExtMax0": a(ext_max[2]),
+                },
+            }
+        },
+    }
+    return minihdf5.write_file(path, tree)
+
+
 class Hdf5ImarisSource(TensorSource):
-    """Real Imaris reader (requires h5py). Scalar attributes arrive as byte
+    """Real Imaris reader (h5py when installed, minihdf5 subset reader
+    otherwise). Scalar attributes arrive as byte
     arrays of characters and are decoded via ``.tobytes()`` (the quirk the
     reference handles at utils/io_utils.py:461-466, :576-579); the
     authoritative shape comes from DataSetInfo/Image attrs, not the padded
     HDF5 dataset shape (:430-525)."""
 
     def __init__(self, path: str, timepoint: int = 0, channel: int = 0):
-        import h5py  # gated: not present in all environments
-
-        self._f = h5py.File(path, "r")
+        self._f = open_h5(path)
         self._t, self._c = timepoint, channel
         n_levels = 0
         while (
