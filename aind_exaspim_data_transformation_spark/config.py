@@ -32,6 +32,9 @@ class ConvertJobSettings(BaseModel):
 
     codec: Literal["gzip", "zstd", "none"] = "gzip"
     codec_level: int = 1
+    # inner transpose codec order ("C", "F", or None to omit) — the
+    # reference always writes transpose(C) ahead of the compressor
+    transpose_order: Literal["C", "F"] | None = None
 
     # Spark-side knobs
     partition_mode: PartitionMode = "shard"

@@ -97,6 +97,7 @@ class _ZarrShardReader(DataSourceReader):
             spec.codec,
             spec.codec_level,
             spec.fill_value,
+            spec.transpose_order,
         )
         return [
             _ShardPartition(self.store, self.level, idx, fields)
@@ -106,7 +107,7 @@ class _ZarrShardReader(DataSourceReader):
     def read(self, partition: _ShardPartition):
         from ..zarrio.format import ShardSpec, decode_shard, shard_path
 
-        shape, shard_shape, chunk_shape, dtype, codec, lvl, fill = (
+        shape, shard_shape, chunk_shape, dtype, codec, lvl, fill, tr = (
             partition.spec_fields
         )
         spec = ShardSpec(
@@ -117,6 +118,7 @@ class _ZarrShardReader(DataSourceReader):
             codec=codec,
             codec_level=lvl,
             fill_value=fill,
+            transpose_order=tr,
         )
         idx = partition.idx
         path = shard_path(partition.store, partition.level, idx)

@@ -45,6 +45,11 @@ class ShardSpec:
     codec_level: int = 1
     fill_value: int = 0
     dimension_names: tuple[str, ...] = ("t", "c", "z", "y", "x")
+    # inner `transpose` codec (reference chain is transpose(C) + zstd,
+    # compress/imaris_to_zarr.py:222-226): a dimension permutation, or
+    # None to omit the codec. "C"/"F" shorthands normalize in
+    # normalize_transpose().
+    transpose_order: tuple[int, ...] | None = None
 
     def __post_init__(self) -> None:
         if not (
@@ -59,6 +64,12 @@ class ShardSpec:
                     f"shard shape {self.shard_shape} must be a multiple of "
                     f"chunk shape {self.chunk_shape}"
                 )
+        if self.transpose_order is not None:
+            object.__setattr__(
+                self,
+                "transpose_order",
+                normalize_transpose(self.transpose_order, len(self.shape)),
+            )
 
     @property
     def chunks_per_shard(self) -> tuple[int, ...]:
@@ -75,6 +86,24 @@ class ShardSpec:
     @property
     def np_dtype(self) -> np.dtype:
         return np.dtype(self.dtype)
+
+
+def normalize_transpose(
+    order: tuple[int, ...] | list[int] | str, rank: int
+) -> tuple[int, ...]:
+    """'C' -> identity, 'F' -> reversed, else validate the permutation
+    (TensorStore accepts the letter shorthands the reference uses; the
+    v3 spec proper wants the explicit permutation we store)."""
+    if order == "C":
+        return tuple(range(rank))
+    if order == "F":
+        return tuple(reversed(range(rank)))
+    order = tuple(int(i) for i in order)
+    if sorted(order) != list(range(rank)):
+        raise ValueError(
+            f"transpose order {order} is not a permutation of rank {rank}"
+        )
+    return order
 
 
 def clamp_shard_and_chunk(
@@ -116,8 +145,12 @@ def encode_shard(data: np.ndarray, spec: ShardSpec) -> bytes:
         sl = tuple(
             slice(i * c, (i + 1) * c) for i, c in zip(idx, spec.chunk_shape)
         )
-        chunk = np.ascontiguousarray(data[sl])
-        raw = chunk.astype(spec.np_dtype.newbyteorder("<")).tobytes(order="C")
+        chunk = data[sl]
+        if spec.transpose_order is not None:
+            chunk = chunk.transpose(spec.transpose_order)
+        raw = np.ascontiguousarray(chunk).astype(
+            spec.np_dtype.newbyteorder("<")
+        ).tobytes(order="C")
         enc = compress(raw, spec.codec, spec.codec_level)
         parts.append(enc)
         index[flat] = (offset, len(enc))
@@ -145,9 +178,19 @@ def decode_shard(blob: bytes, spec: ShardSpec) -> np.ndarray:
         if (off, nbytes) == _MISSING:
             continue
         raw = decompress(blob[off : off + nbytes], spec.codec)
-        chunk = np.frombuffer(
-            raw, dtype=spec.np_dtype.newbyteorder("<")
-        ).reshape(spec.chunk_shape)
+        if spec.transpose_order is None:
+            chunk = np.frombuffer(
+                raw, dtype=spec.np_dtype.newbyteorder("<")
+            ).reshape(spec.chunk_shape)
+        else:
+            order = spec.transpose_order
+            stored_shape = tuple(spec.chunk_shape[i] for i in order)
+            inverse = np.argsort(order)
+            chunk = (
+                np.frombuffer(raw, dtype=spec.np_dtype.newbyteorder("<"))
+                .reshape(stored_shape)
+                .transpose(inverse)
+            )
         sl = tuple(
             slice(i * c, (i + 1) * c) for i, c in zip(idx, spec.chunk_shape)
         )
@@ -175,9 +218,19 @@ def write_shard_file(
 
 
 def _codecs_json(spec: ShardSpec) -> list[dict]:
-    inner: list[dict] = [
-        {"name": "bytes", "configuration": {"endian": "little"}}
-    ]
+    """Inner chain mirrors the reference's transpose + compressor
+    (compress/imaris_to_zarr.py:222-226) with the spec-required `bytes`
+    array->bytes codec between them (TensorStore inserts it implicitly;
+    zarr v3 metadata must carry it explicitly)."""
+    inner: list[dict] = []
+    if spec.transpose_order is not None:
+        inner.append(
+            {
+                "name": "transpose",
+                "configuration": {"order": list(spec.transpose_order)},
+            }
+        )
+    inner.append({"name": "bytes", "configuration": {"endian": "little"}})
     if spec.codec == "gzip":
         inner.append(
             {"name": "gzip", "configuration": {"level": spec.codec_level}}
@@ -254,11 +307,13 @@ def read_array_metadata(store: str, level: int) -> ShardSpec:
     meta = json.loads(blob)
     shard_cfg = meta["codecs"][0]["configuration"]
     inner = shard_cfg["codecs"]
-    codec, level_ = "none", 0
+    codec, level_, transpose = "none", 0, None
     for c in inner:
         if c["name"] in ("gzip", "zstd"):
             codec = c["name"]
             level_ = c["configuration"]["level"]
+        elif c["name"] == "transpose":
+            transpose = c["configuration"]["order"]  # list or "C"/"F"
     return ShardSpec(
         shape=tuple(meta["shape"]),
         shard_shape=tuple(meta["chunk_grid"]["configuration"]["chunk_shape"]),
@@ -268,6 +323,7 @@ def read_array_metadata(store: str, level: int) -> ShardSpec:
         codec_level=level_,
         fill_value=meta["fill_value"],
         dimension_names=tuple(meta.get("dimension_names") or ()),
+        transpose_order=transpose,
     )
 
 

@@ -43,7 +43,8 @@ TASK_SCHEMA = (
     "shard_z int, shard_y int, shard_x int, "
     "chunk_z int, chunk_y int, chunk_x int, "
     "shape_z int, shape_y int, shape_x int, "
-    "dtype string, codec string, codec_level int, superchunk string"
+    "dtype string, codec string, codec_level int, transpose string, "
+    "superchunk string"
 )
 
 STATS_SCHEMA = (
@@ -116,6 +117,7 @@ def build_global_tasks(
                                 src.meta.dtype,
                                 settings.codec,
                                 settings.codec_level,
+                                settings.transpose_order or "",
                                 f"{src_path},{lvl},{iz // sm[0]},"
                                 f"{iy // sm[1]},{ix // sm[2]}",
                             )
@@ -157,6 +159,7 @@ def _global_writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 dtype=row.dtype,
                 codec=row.codec,
                 codec_level=row.codec_level,
+                transpose_order=row.transpose or None,
             )
             blob = encode_shard(_pad_to_shard(block, spec), spec)
             write_shard_file(

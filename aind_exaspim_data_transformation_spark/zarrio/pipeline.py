@@ -72,6 +72,7 @@ def _level_specs(
             dtype=dtype,
             codec=settings.codec,
             codec_level=settings.codec_level,
+            transpose_order=settings.transpose_order,
         )
     return specs
 

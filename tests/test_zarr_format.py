@@ -112,3 +112,117 @@ def test_group_metadata(tmp_path):
     meta = json.load(open(f"{store}/zarr.json"))
     assert meta["node_type"] == "group"
     assert meta["attributes"]["ome"]["version"] == "0.5"
+
+
+def test_transpose_codec_roundtrip():
+    """Inner transpose codec (reference chain transpose+compressor,
+    compress/imaris_to_zarr.py:222-226): arbitrary permutations must
+    round-trip; stored bytes differ from the untransposed encoding."""
+    import numpy as np
+
+    from aind_exaspim_data_transformation_spark.zarrio.format import (
+        ShardSpec,
+        decode_shard,
+        encode_shard,
+    )
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 65535, (1, 1, 4, 6, 8), dtype=np.uint16)
+    base = dict(
+        shape=(1, 1, 4, 6, 8),
+        shard_shape=(1, 1, 4, 6, 8),
+        chunk_shape=(1, 1, 2, 3, 4),
+        codec="gzip",
+    )
+    plain = ShardSpec(**base)
+    for order in ["C", "F", (0, 1, 4, 2, 3)]:
+        spec = ShardSpec(**base, transpose_order=order)
+        blob = encode_shard(data, spec)
+        np.testing.assert_array_equal(decode_shard(blob, spec), data)
+        if order != "C":  # C is the identity permutation
+            assert blob != encode_shard(data, plain)
+    # identity ("C") produces byte-identical shards to no-transpose
+    c_spec = ShardSpec(**base, transpose_order="C")
+    assert encode_shard(data, c_spec) == encode_shard(data, plain)
+
+
+def test_transpose_codec_chain_structure(tmp_path):
+    """Golden structural parity with the reference's spec JSON
+    (compress/imaris_to_zarr.py:222-242): transpose first, compressor
+    with level, crc32c'd little-endian index at the end. The explicit
+    `bytes` codec between them is required by the v3 spec (TensorStore
+    inserts it implicitly for the reference)."""
+    import json
+    import os
+
+    from aind_exaspim_data_transformation_spark.zarrio.format import (
+        ShardSpec,
+        read_array_metadata,
+        write_array_metadata,
+    )
+
+    spec = ShardSpec(
+        shape=(1, 1, 8, 8, 8),
+        shard_shape=(1, 1, 8, 8, 8),
+        chunk_shape=(1, 1, 4, 4, 4),
+        codec="zstd",
+        codec_level=3,
+        transpose_order="C",
+    )
+    store = str(tmp_path / "t.zarr")
+    write_array_metadata(store, 0, spec)
+    meta = json.load(open(os.path.join(store, "0", "zarr.json")))
+    shard_cfg = meta["codecs"][0]
+    assert shard_cfg["name"] == "sharding_indexed"
+    inner = shard_cfg["configuration"]["codecs"]
+    assert [c["name"] for c in inner] == ["transpose", "bytes", "zstd"]
+    assert inner[0]["configuration"]["order"] == [0, 1, 2, 3, 4]
+    assert inner[2]["configuration"]["level"] == 3
+    assert shard_cfg["configuration"]["index_codecs"] == [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "crc32c"},
+    ]
+    assert shard_cfg["configuration"]["index_location"] == "end"
+    # metadata round-trip preserves the normalized permutation
+    assert read_array_metadata(store, 0) == spec
+
+
+def test_pipeline_with_transpose(spark, tmp_path):
+    """End-to-end conversion with transpose_order='C' stays voxel-exact
+    (writer and reader both honor the permutation)."""
+    import numpy as np
+
+    from aind_exaspim_data_transformation_spark.config import (
+        ConvertJobSettings,
+    )
+    from aind_exaspim_data_transformation_spark.sources.tensor import (
+        write_npy_pyramid,
+    )
+    from aind_exaspim_data_transformation_spark.zarrio.format import (
+        read_array_region,
+    )
+    from aind_exaspim_data_transformation_spark.zarrio.pipeline import (
+        convert_to_zarr,
+    )
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 65535, (16, 16, 16), dtype=np.uint16)
+    src = str(tmp_path / "tile_000002_ch_488")
+    write_npy_pyramid(src, arr, n_levels=1)
+    store = str(tmp_path / "trans.zarr")
+    settings = ConvertJobSettings(
+        input_source=src,
+        output_location=store,
+        chunk_shape=(8, 8, 8),
+        shard_shape=(16, 16, 16),
+        transpose_order="C",
+        downsample_levels=1,
+        translate_pyramid=True,
+    )
+    convert_to_zarr(spark, settings)
+    got = read_array_region(
+        store, 0,
+        (slice(0, 1), slice(0, 1), slice(0, 16), slice(0, 16),
+         slice(0, 16)),
+    )[0, 0]
+    np.testing.assert_array_equal(got, arr)
