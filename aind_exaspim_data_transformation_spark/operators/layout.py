@@ -117,6 +117,10 @@ def morton_key(cols: list, bits: int = 8) -> "F.Column":
     whole-stage codegen — no UDF.
     """
     ncols = len(cols)
+    # Interleaved key must fit a signed BIGINT: auto-reduce bits so
+    # bits * ncols <= 63 (1 << 63 would overflow and silently degrade
+    # the literal to a non-bigint type).
+    bits = min(bits, 63 // ncols)
     cols = [
         (F.col(c) if isinstance(c, str) else c).cast("bigint") for c in cols
     ]

@@ -12,6 +12,8 @@ the bucket, and per-bucket fan-out is bounded by the band width.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -101,10 +103,29 @@ def _minhash_signatures_from(docs: DataFrame) -> DataFrame:
     # small single-row-group parquet file scans as ONE task no matter the
     # split config, so at bench scale we pay a (tiny) text shuffle to use
     # every core. At 100 TB the scan has >> defaultParallelism partitions
-    # and this branch never triggers — no shuffle on the real path.
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    # and this branch never triggers — no shuffle on the real path. The
+    # check is driver-side file metadata only (no RDD conversion, no job):
+    # few files AND total bytes below target * maxPartitionBytes means
+    # Spark cannot plan enough scan tasks on its own.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = docs.inputFiles()
+    if files and len(files) < target:
+        max_pb = int(
+            str(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            ).rstrip("b")
+        )
+        try:
+            total = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+        except OSError:  # non-local scheme: size unknown, assume small
+            total = 0
+        if total < target * max_pb:
+            docs = docs.repartition(target)
     words = F.split("text", " ")
     shingle_list = F.transform(
         F.sequence(F.lit(0), F.size(words) - 2),

@@ -89,8 +89,7 @@ def q_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH payloads AS (
   SELECT event_id,
-    '{"user":' || CAST(user_id AS VARCHAR)
-      || ',"type":"' || event_type || '"}' AS payload
+    json_object('user', user_id, 'type', event_type) AS payload
   FROM events WHERE event_id < 500)
 SELECT event_id,
   CAST(json_extract(payload, '$.user') AS BIGINT) AS user_id,
@@ -100,12 +99,13 @@ FROM payloads
 )
 def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
-    payload = F.concat(
-        F.lit('{"user":'),
-        F.col("user_id").cast("string"),
-        F.lit(',"type":"'),
-        F.col("event_type"),
-        F.lit('"}'),
+    # to_json handles quoting/escaping; each engine extracts from its own
+    # properly-constructed JSON, so any event_type content is safe.
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").alias("user"),
+            F.col("event_type").alias("type"),
+        )
     )
     v = F.parse_json(payload)
     return ev.select(
@@ -138,6 +138,8 @@ def q_udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, bigram: string")
     class WordBigrams:
         def eval(self, text: str):
+            if not text:  # NULL text: emit no rows (oracle does the same)
+                return
             words = text.split(" ")
             for i in range(len(words) - 1):
                 yield i, words[i] + " " + words[i + 1]

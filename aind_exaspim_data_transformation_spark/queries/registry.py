@@ -38,9 +38,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The harness may hand us a session without our defaults;
             # timestamp rendering must be UTC to match the DuckDB oracle,
-            # and AQE should be on regardless.
+            # AQE should be on regardless, and events.parquet's
+            # TIMESTAMP(NANOS) needs the nanos-as-long read mode.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamp semantics for oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which the parquet reader
+        # rejects unless read as raw longs (load_table truncates to micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Shuffle sizing: local default = core count; AQE coalesces down.
         .config("spark.sql.shuffle.partitions", str(cpus))
         # Broadcast threshold: dims like region/nation/supplier must

@@ -34,10 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.parquet`` carries TIMESTAMP(NANOS) which the Spark parquet
     reader rejects; read nanos as long and truncate to micros (identical
-    to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast semantics).
+    to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast semantics). The
+    ``nanosAsLong`` conf itself is session-level state, set once in
+    ``session.get_spark`` and re-asserted by the registry wrapper —
+    never mutated here mid-query.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

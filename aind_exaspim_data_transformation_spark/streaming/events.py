@@ -42,8 +42,12 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet with event-time column."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over events.parquet with event-time column.
+
+    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session
+    (set by ``session.get_spark`` and the query-registry wrapper; the
+    schema reads ``ts`` as raw nanosecond longs).
+    """
     # The file stream source requires a directory; glob-filter to events.
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)

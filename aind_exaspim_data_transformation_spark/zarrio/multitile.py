@@ -52,6 +52,20 @@ STATS_SCHEMA = (
     "bytes_read long, bytes_written long, elapsed double, checksum long"
 )
 
+#: Self-describing downsample task rows: store-routed so ONE Spark action
+#: covers level k of EVERY tile (job count per level is independent of the
+#: tile count). ``parent_*`` is the previous level's logical shape.
+DS_TASK_SCHEMA = (
+    "store string, level int, iz int, iy int, ix int, "
+    "z0 int, z1 int, y0 int, y1 int, x0 int, x1 int, "
+    "shard_z int, shard_y int, shard_x int, "
+    "chunk_z int, chunk_y int, chunk_x int, "
+    "shape_z int, shape_y int, shape_x int, "
+    "parent_z int, parent_y int, parent_x int, "
+    "dtype string, codec string, codec_level int, transpose string, "
+    "superchunk string"
+)
+
 
 def build_global_tasks(
     spark: SparkSession,
@@ -258,41 +272,196 @@ def convert_tiles_to_zarr(
     }
 
     if not settings.translate_pyramid:
-        # Computed pyramid levels: one Spark action per level (sequential
-        # dependency) over the union of all tiles' level-k tasks would
-        # need per-row store routing; levels are tiny vs level 0, so a
-        # per-tile loop over the single-tile downsample stage keeps the
-        # code shared with the pipeline path.
-        from ..plans.grid import shard_tasks_df
-        from .pipeline import _make_downsample_writer, _run_stage
-
-        n_parts = max(
-            spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
+        # Computed pyramid levels: level k depends on k-1 (reference A2),
+        # so levels run sequentially — but within a level EVERY tile's
+        # shards go into ONE store-routed Spark action. Job count per
+        # level is therefore independent of the tile count (a 100-tile
+        # dataset schedules L-1 actions, not 100*(L-1)).
+        result["downsample_stages"] = _run_downsample_levels(
+            spark, tiles, all_specs, settings
         )
-        ds_stats = []
-        for src_path, store in tiles:
-            specs = all_specs[src_path]
-            shapes = [specs[lvl].shape[2:] for lvl in sorted(specs)]
-            for lvl in range(1, len(shapes)):
-                ltasks = shard_tasks_df(
-                    spark,
-                    {lvl: shapes[lvl]},
-                    {lvl: specs[lvl].shard_shape[2:]},
-                    settings.superchunk_multiple,
-                )
-                ds_stats.append(
-                    _run_stage(
-                        spark,
-                        ltasks,
-                        _make_downsample_writer(
+    return result
+
+
+def _build_downsample_tasks(
+    tiles: list[tuple[str, str]],
+    all_specs: dict[str, dict[int, ShardSpec]],
+    settings: ConvertJobSettings,
+    lvl: int,
+) -> list[tuple]:
+    """Level-``lvl`` task rows across every tile (DS_TASK_SCHEMA)."""
+    import math
+
+    sm = settings.superchunk_multiple
+    rows: list[tuple] = []
+    for _src_path, store in tiles:
+        specs = all_specs[_src_path]
+        if lvl not in specs:
+            continue
+        shape = specs[lvl].shape[2:]
+        parent = specs[lvl - 1].shape[2:]
+        shard = specs[lvl].shard_shape[2:]
+        chunk = specs[lvl].chunk_shape[2:]
+        gz, gy, gx = (
+            math.ceil(shape[0] / shard[0]),
+            math.ceil(shape[1] / shard[1]),
+            math.ceil(shape[2] / shard[2]),
+        )
+        for iz in range(gz):
+            for iy in range(gy):
+                for ix in range(gx):
+                    rows.append(
+                        (
                             store,
-                            specs,
-                            {lvl - 1: shapes[lvl - 1]},
-                            settings.scale_factor,
-                            settings.downsample_mode,
-                        ),
-                        n_parts,
+                            lvl,
+                            iz,
+                            iy,
+                            ix,
+                            iz * shard[0],
+                            min((iz + 1) * shard[0], shape[0]),
+                            iy * shard[1],
+                            min((iy + 1) * shard[1], shape[1]),
+                            ix * shard[2],
+                            min((ix + 1) * shard[2], shape[2]),
+                            *shard,
+                            *chunk,
+                            *shape,
+                            *parent,
+                            specs[lvl].dtype,
+                            settings.codec,
+                            settings.codec_level,
+                            settings.transpose_order or "",
+                            f"{store},{lvl},{iz // sm[0]},"
+                            f"{iy // sm[1]},{ix // sm[2]}",
+                        )
+                    )
+    return rows
+
+
+def _make_global_downsample_writer(
+    factor: tuple[int, int, int], mode: str
+):
+    """Store-routed downsample writer: reads the factor-scaled parent
+    region from each row's own store, block-reduces, writes the shard.
+    Parent specs are read once per (store, level) per partition from the
+    store's own zarr.json — no spec state shipped through the plan."""
+    from ..operators.downsample import downsample_block
+    from .format import read_array_metadata, read_array_region
+
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pspecs: dict[tuple[str, int], ShardSpec] = {}
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                t0 = time.monotonic()
+                parent = row.level - 1
+                key = (row.store, parent)
+                pspec = pspecs.get(key)
+                if pspec is None:
+                    pspec = pspecs[key] = read_array_metadata(
+                        row.store, parent
+                    )
+                region = (
+                    slice(0, 1),
+                    slice(0, 1),
+                    slice(
+                        row.z0 * factor[0],
+                        min(row.z1 * factor[0], row.parent_z),
+                    ),
+                    slice(
+                        row.y0 * factor[1],
+                        min(row.y1 * factor[1], row.parent_y),
+                    ),
+                    slice(
+                        row.x0 * factor[2],
+                        min(row.x1 * factor[2], row.parent_x),
+                    ),
+                )
+                parent_block = read_array_region(
+                    row.store, parent, region, pspec
+                )[0, 0]
+                block = downsample_block(parent_block, factor, mode)
+                spec = ShardSpec(
+                    shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
+                    shard_shape=(
+                        1, 1, row.shard_z, row.shard_y, row.shard_x,
+                    ),
+                    chunk_shape=(
+                        1, 1, row.chunk_z, row.chunk_y, row.chunk_x,
+                    ),
+                    dtype=row.dtype,
+                    codec=row.codec,
+                    codec_level=row.codec_level,
+                    transpose_order=row.transpose or None,
+                )
+                blob = encode_shard(_pad_to_shard(block, spec), spec)
+                write_shard_file(
+                    row.store, row.level, (0, 0, row.iz, row.iy, row.ix), blob
+                )
+                out.append(
+                    (
+                        row.store,
+                        row.level,
+                        row.iz,
+                        row.iy,
+                        row.ix,
+                        parent_block.nbytes,
+                        len(blob),
+                        time.monotonic() - t0,
+                        zlib_crc32(np.ascontiguousarray(block).tobytes()),
                     )
                 )
-        result["downsample_stages"] = ds_stats
-    return result
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "tile_path",
+                    "level",
+                    "iz",
+                    "iy",
+                    "ix",
+                    "bytes_read",
+                    "bytes_written",
+                    "elapsed",
+                    "checksum",
+                ],
+            )
+
+    return writer
+
+
+def _run_downsample_levels(
+    spark: SparkSession,
+    tiles: list[tuple[str, str]],
+    all_specs: dict[str, dict[int, ShardSpec]],
+    settings: ConvertJobSettings,
+) -> list[dict]:
+    """One Spark action per pyramid level, all tiles unioned. Returns one
+    stats dict per level (NOT per tile-level pair)."""
+    n_parts = max(
+        spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
+    )
+    n_levels = max(
+        (len(specs) for specs in all_specs.values()), default=0
+    )
+    writer = _make_global_downsample_writer(
+        settings.scale_factor, settings.downsample_mode
+    )
+    stages: list[dict] = []
+    for lvl in range(1, n_levels):
+        rows = _build_downsample_tasks(tiles, all_specs, settings, lvl)
+        tasks = spark.createDataFrame(rows, DS_TASK_SCHEMA)
+        stats = (
+            tasks.repartition(n_parts, "superchunk")
+            .mapInPandas(writer, STATS_SCHEMA)
+            .agg(
+                F.count(F.lit(1)).alias("n_shards"),
+                F.sum("bytes_read").alias("bytes_read"),
+                F.sum("bytes_written").alias("bytes_written"),
+                F.sum("elapsed").alias("task_seconds"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        stats["level"] = lvl
+        stages.append(stats)
+    return stages

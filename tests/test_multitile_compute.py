@@ -1,5 +1,5 @@
 """Shard-mode multi-tile conversion with a COMPUTED pyramid (global
-level-0 action + per-level downsample stages per tile)."""
+level-0 action + ONE store-routed downsample action per level)."""
 
 import numpy as np
 import pytest
@@ -41,7 +41,11 @@ def test_shard_mode_computed_pyramid(spark, tmp_path):
             downsample_mode="mean",
         ),
     )
-    assert len(result["downsample_stages"]) == 4  # 2 tiles x levels 1,2
+    # ONE action per level regardless of tile count: levels 1 and 2.
+    assert len(result["downsample_stages"]) == 2
+    assert [s["level"] for s in result["downsample_stages"]] == [1, 2]
+    # Each level's single action covered both tiles' shards.
+    assert all(s["n_shards"] >= 2 for s in result["downsample_stages"])
     for src, store in tiles:
         want1 = downsample_block(arrays[src], (2, 2, 2), "mean")
         got1 = read_array_region(
@@ -57,3 +61,32 @@ def test_shard_mode_computed_pyramid(spark, tmp_path):
              slice(0, 8)),
         )[0, 0]
         np.testing.assert_array_equal(got2, want2)
+
+
+def test_downsample_stage_count_independent_of_tiles(spark, tmp_path):
+    """Job-count contract: L-1 downsample stages whether 1 or 3 tiles."""
+    rng = np.random.default_rng(7)
+    settings = dict(
+        input_source="ignored",
+        output_location="ignored",
+        chunk_shape=(8, 8, 8),
+        shard_shape=(8, 8, 8),
+        translate_pyramid=False,
+        downsample_levels=2,
+        downsample_mode="max",
+    )
+    stage_counts = {}
+    for n_tiles in (1, 3):
+        tiles = []
+        for i in range(n_tiles):
+            arr = rng.integers(0, 65535, size=(16, 16, 16), dtype=np.uint16)
+            src = str(tmp_path / f"n{n_tiles}_tile{i}")
+            write_npy_pyramid(src, arr, n_levels=1)
+            tiles.append((src, str(tmp_path / f"n{n_tiles}_store{i}.zarr")))
+        result = convert_tiles_to_zarr(
+            spark, tiles, ConvertJobSettings(**settings)
+        )
+        stage_counts[n_tiles] = len(result["downsample_stages"])
+        # every tile's level-1 store must still be complete
+        assert result["downsample_stages"][0]["n_shards"] == n_tiles
+    assert stage_counts[1] == stage_counts[3] == 1
