@@ -14,6 +14,7 @@ trivially plannable; payloads never enter the DataFrame.
 
 from __future__ import annotations
 
+import math
 import time
 from collections.abc import Iterator
 
@@ -34,7 +35,7 @@ from .format import (
     write_shard_file,
 )
 from .metadata import multiscales_metadata
-from .pipeline import _level_specs, _pad_to_shard
+from .pipeline import _level_specs, _pad_to_shard, iter_coalesced_reads
 
 TASK_SCHEMA = (
     "tile_path string, store string, level int, "
@@ -101,8 +102,6 @@ def build_global_tasks(
         for lvl, shape in list(enumerate(shapes))[:source_levels]:
             shard = specs[lvl].shard_shape[2:]
             chunk = specs[lvl].chunk_shape[2:]
-            import math
-
             gz, gy, gx = (
                 math.ceil(shape[0] / shard[0]),
                 math.ceil(shape[1] / shard[1]),
@@ -154,18 +153,21 @@ def build_global_tasks(
 
 def _global_writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Self-describing writer: rebuilds the ShardSpec from task columns;
-    sources cached per partition."""
+    sources cached per partition; source reads superchunk-coalesced (one
+    bounding-box read per superchunk group — the superchunk key embeds
+    tile_path and level, so groups never span tiles)."""
     sources: dict[str, object] = {}
+
+    def read_fn(row, z0, z1, y0, y1, x0, x1):
+        src = sources.get(row.tile_path)
+        if src is None:
+            src = sources[row.tile_path] = open_source(row.tile_path)
+        return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+
     for pdf in batches:
         out = []
-        for row in pdf.itertuples(index=False):
+        for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
             t0 = time.monotonic()
-            src = sources.get(row.tile_path)
-            if src is None:
-                src = sources[row.tile_path] = open_source(row.tile_path)
-            block = src.read_block(
-                row.level, row.z0, row.z1, row.y0, row.y1, row.x0, row.x1
-            )
             spec = ShardSpec(
                 shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
                 shard_shape=(1, 1, row.shard_z, row.shard_y, row.shard_x),
@@ -188,7 +190,7 @@ def _global_writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     row.ix,
                     block.nbytes,
                     len(blob),
-                    time.monotonic() - t0,
+                    read_sec + time.monotonic() - t0,
                     zlib_crc32(np.ascontiguousarray(block).tobytes()),
                 )
             )
@@ -290,8 +292,6 @@ def _build_downsample_tasks(
     lvl: int,
 ) -> list[tuple]:
     """Level-``lvl`` task rows across every tile (DS_TASK_SCHEMA)."""
-    import math
-
     sm = settings.superchunk_multiple
     rows: list[tuple] = []
     for _src_path, store in tiles:

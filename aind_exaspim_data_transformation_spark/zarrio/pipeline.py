@@ -88,21 +88,81 @@ def _pad_to_shard(block: np.ndarray, spec: ShardSpec) -> np.ndarray:
     return out[None, None, ...]
 
 
+def iter_coalesced_reads(pdf: pd.DataFrame, read_fn):
+    """Superchunk read-once coalescing (reference S9, iter_superchunks at
+    utils/io_utils.py:153-303): group the batch's task rows by their
+    ``superchunk`` key, issue ONE source read for the group's bounding box,
+    and slice every shard block out of the in-memory region — amortizing
+    source I/O exactly as the reference's superchunk loop does (its default
+    superchunk is 2x the shard, compress/imaris_to_zarr.py:1310-1314;
+    ours is ``superchunk_multiple`` x the shard, same default).
+
+    ``read_fn(row, z0, z1, y0, y1, x0, x1)`` performs the actual source
+    read (the row identifies level / tile for the caller). Yields
+    ``(row, block, read_seconds)`` with the superchunk's single read time
+    amortized evenly over its rows.
+
+    Coalescing only fires when the group's rows exactly tile their
+    bounding box (the analog of the reference's divisibility validation,
+    utils/io_utils.py:212-217 — here checked as volume equality, which
+    also keeps resume/subset runs correct: a partial group falls back to
+    per-row reads instead of over-reading). Memory stays bounded by
+    ``superchunk_multiple * shard_shape``, mirroring the reference's
+    superchunk-sized bound.
+    """
+    for _, grp in pdf.groupby("superchunk", sort=False):
+        rows = list(grp.itertuples(index=False))
+        if len(rows) > 1:
+            bz0 = min(r.z0 for r in rows)
+            bz1 = max(r.z1 for r in rows)
+            by0 = min(r.y0 for r in rows)
+            by1 = max(r.y1 for r in rows)
+            bx0 = min(r.x0 for r in rows)
+            bx1 = max(r.x1 for r in rows)
+            bbox_vol = (bz1 - bz0) * (by1 - by0) * (bx1 - bx0)
+            rows_vol = sum(
+                (r.z1 - r.z0) * (r.y1 - r.y0) * (r.x1 - r.x0) for r in rows
+            )
+            if bbox_vol == rows_vol:
+                t0 = time.monotonic()
+                region = read_fn(rows[0], bz0, bz1, by0, by1, bx0, bx1)
+                per_row = (time.monotonic() - t0) / len(rows)
+                for r in rows:
+                    yield (
+                        r,
+                        region[
+                            r.z0 - bz0 : r.z1 - bz0,
+                            r.y0 - by0 : r.y1 - by0,
+                            r.x0 - bx0 : r.x1 - bx0,
+                        ],
+                        per_row,
+                    )
+                continue
+        for r in rows:
+            t0 = time.monotonic()
+            block = read_fn(r, r.z0, r.z1, r.y0, r.y1, r.x0, r.x1)
+            yield r, block, time.monotonic() - t0
+
+
 def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec]):
-    """Writer UDF for the translate/level-0 path: hyperslab read from the
-    source at the task's level, pad, encode, write. Arrow-batched; the
-    source is opened once per partition (reference re-opens per task,
-    compress/imaris_to_zarr.py:434 — per-partition is strictly cheaper)."""
+    """Writer UDF for the translate/level-0 path: superchunk-coalesced
+    hyperslab read from the source at the task's level, pad, encode,
+    write. Arrow-batched; the source is opened once per partition
+    (reference re-opens per task, compress/imaris_to_zarr.py:434 —
+    per-partition is strictly cheaper). Rows are repartitioned by
+    superchunk upstream, so each group's single bounding-box read
+    (iter_coalesced_reads) serves every shard in the group."""
 
     def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         src = open_source(source_path)
+
+        def read_fn(row, z0, z1, y0, y1, x0, x1):
+            return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+
         for pdf in batches:
             out = []
-            for row in pdf.itertuples(index=False):
+            for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
                 t0 = time.monotonic()
-                block = src.read_block(
-                    row.level, row.z0, row.z1, row.y0, row.y1, row.x0, row.x1
-                )
                 spec = specs[row.level]
                 blob = encode_shard(_pad_to_shard(block, spec), spec)
                 write_shard_file(
@@ -116,7 +176,7 @@ def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec])
                         row.ix,
                         block.nbytes,
                         len(blob),
-                        time.monotonic() - t0,
+                        read_sec + time.monotonic() - t0,
                         zlib_crc32(np.ascontiguousarray(block).tobytes()),
                     )
                 )
