@@ -32,22 +32,29 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet scan => pushdown + pruning via Catalyst.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which the Spark parquet
-    reader rejects; read nanos as long and truncate to micros (identical
-    to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast semantics). The
-    ``nanosAsLong`` conf itself is session-level state, set once in
-    ``session.get_spark`` and re-asserted by the registry wrapper —
-    never mutated here mid-query.
+    ``events.parquet``'s ``ts`` column has shipped in two physical forms:
+    TIMESTAMP(NANOS), which the Spark parquet reader rejects (read nanos
+    as long and truncate to micros — identical to DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP cast semantics; the ``nanosAsLong`` conf
+    itself is session-level state, set once in ``session.get_spark`` and
+    re-asserted by the registry wrapper), and TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Queries
+    use TIMESTAMP-only functions (``unix_micros``, ``window``), so
+    normalize both forms to TIMESTAMP — value-preserving because the
+    session timezone is forced to UTC.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # Integer division: double division loses precision at 1.7e18 ns.
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

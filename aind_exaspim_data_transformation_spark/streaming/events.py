@@ -27,35 +27,51 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Explicit schema: streaming sources cannot infer. ts arrives as raw
-# nanoseconds (see sources.tables.load_table for the batch twin).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    """Explicit schema: streaming sources cannot infer."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with event-time column.
 
-    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session
-    (set by ``session.get_spark`` and the query-registry wrapper; the
-    schema reads ``ts`` as raw nanosecond longs).
+    ``ts`` has shipped as TIMESTAMP(NANOS) (read as raw nanosecond longs
+    via ``spark.sql.legacy.parquet.nanosAsLong=true``, set by
+    ``session.get_spark``) and as TIMESTAMP(MICROS) isAdjustedToUTC=false
+    (TIMESTAMP_NTZ). Probe the physical type with a batch scan of the
+    footer, then declare the matching stream schema and normalize to
+    TIMESTAMP — the batch twin is ``sources.tables.load_table``.
     """
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_batch = dict(spark.read.parquet(path).dtypes).get("ts")
     # The file stream source requires a directory; glob-filter to events.
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
+    reader = (
+        spark.readStream.format("parquet")
         .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_batch == "bigint":
+        raw = reader.schema(_events_schema(LongType())).load(sf_dir)
+        # Integer division: double division loses precision at 1.7e18 ns.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_batch == "timestamp_ntz":
+        from pyspark.sql.types import TimestampNTZType
+
+        raw = reader.schema(_events_schema(TimestampNTZType())).load(sf_dir)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyspark.sql.types import TimestampType
+
+    return reader.schema(_events_schema(TimestampType())).load(sf_dir)
 
 
 def stream_tumbling_counts(
