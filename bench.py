@@ -3,7 +3,13 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: sec, ...}, "sf": <sf>}
+ "queries": {name: median sec of 3 warm runs, ...},
+ "spread": {name: [min, max], ...}, "sf": <sf>}
+
+Each query is timed as 1 untimed warm-up + 3 timed runs; the headline
+number is the per-query MEDIAN (round-over-round deltas on a single warm
+run are dominated by JVM/GC noise, not code). min/max spread is reported
+so a real regression is distinguishable from variance.
 
 Headline set: one query per operator family, weighted toward the
 shuffle-heavy paths that dominate at scale (joins, aggregation, windows,
@@ -15,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -58,17 +65,23 @@ def main() -> None:
 
     # Steady-state timing: run each query once untimed (whole-stage codegen
     # compile + file-index population are one-time costs that amortize away
-    # on a long-lived cluster), then time the second execution. The cold
-    # first-run total is reported alongside for transparency.
+    # on a long-lived cluster), then time THREE executions and take the
+    # median — single warm runs drift 10-40% round-over-round from JVM/GC
+    # noise alone. The cold first-run total is reported for transparency.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     cold_total = 0.0
     for name in HEADLINE:
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).collect()
         cold_total += time.monotonic() - t0
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).collect()
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # Tensor conversion throughput (the reference's core workload;
     # BASELINE.md comparable: 0.084 GB/s at 8-16 workers). Warm the
@@ -84,25 +97,30 @@ def main() -> None:
                 shard_shape=(32, 32, 32),
             ),
         )
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.monotonic()
-        result = convert_to_zarr(
-            spark,
-            ConvertJobSettings(
-                input_source="synth://2048,1024,1024,1",
-                output_location=os.path.join(tmp, "bench.zarr"),
-                chunk_shape=(64, 64, 64),
-                shard_shape=(128, 128, 128),
-                translate_pyramid=True,
-                codec="gzip",
-                codec_level=1,
-            ),
-        )
-        dt = time.monotonic() - t0
-        timings["tensor_to_zarr_4GB"] = round(dt, 3)
-        conversion_gbps = round(
-            result["stages"][0]["bytes_read"] / 1e9 / dt, 4
-        )
+    conv_runs: list[float] = []
+    for _ in range(3):
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.monotonic()
+            result = convert_to_zarr(
+                spark,
+                ConvertJobSettings(
+                    input_source="synth://2048,1024,1024,1",
+                    output_location=os.path.join(tmp, "bench.zarr"),
+                    chunk_shape=(64, 64, 64),
+                    shard_shape=(128, 128, 128),
+                    translate_pyramid=True,
+                    codec="gzip",
+                    codec_level=1,
+                ),
+            )
+            conv_runs.append(time.monotonic() - t0)
+    dt = statistics.median(conv_runs)
+    timings["tensor_to_zarr_4GB"] = round(dt, 3)
+    spread["tensor_to_zarr_4GB"] = [
+        round(min(conv_runs), 3),
+        round(max(conv_runs), 3),
+    ]
+    conversion_gbps = round(result["stages"][0]["bytes_read"] / 1e9 / dt, 4)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +130,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "conversion_gbps": conversion_gbps,
                 "cold_first_run_total_sec": round(cold_total, 3),
