@@ -15,6 +15,12 @@ HDF5 File Format Specification (version 0 superblock):
   + local heap + SNOD;
 - contiguous (layout class 1) datasets of little-endian fixed-point
   types, read by memmap so hyperslab slicing touches only needed pages;
+- chunked (layout class 2) datasets indexed by a v1 B-tree of raw-data
+  chunks (node type 1, multi-level), with the optional deflate filter
+  (filter pipeline message, filter id 1 = raw zlib streams) — the
+  layout real Imaris files use (reference utils/io_utils.py:96-99,
+  171-175 plans around native HDF5 chunks); edge chunks are stored
+  full-size per the spec and clipped on read;
 - version-1 attribute messages; 1-byte string element type (class 3,
   size 1) so attributes round-trip as the ``S1`` byte arrays whose
   ``.tobytes()`` decode the Imaris quirk requires.
@@ -24,16 +30,18 @@ exactly what ``Hdf5ImarisSource`` consumes; when h5py exists it wins (see
 ``tensor.open_h5``), and files written here are spec-conformant so h5py
 can cross-check them (tests/test_imaris_hdf5.py gates that on import).
 
-Deliberately NOT supported: chunked/compressed layouts, v2 B-trees,
-fractal heaps, >1 B-tree level (the writer caps children per group well
-below the leaf k), non-ASCII link names.
+Deliberately NOT supported: v2 B-trees, fractal heaps, non-deflate
+filters (shuffle/fletcher32/szip), >1 group B-tree level (the writer
+caps children per group well below the leaf k), non-ASCII link names.
 """
 
 from __future__ import annotations
 
+import itertools
 import mmap
 import os
 import struct
+import zlib
 
 import numpy as np
 
@@ -45,9 +53,17 @@ MSG_DATASPACE = 0x0001
 MSG_DATATYPE = 0x0003
 MSG_FILL_VALUE = 0x0005
 MSG_LAYOUT = 0x0008
+MSG_FILTER_PIPELINE = 0x000B
 MSG_CONTINUATION = 0x0010
 MSG_ATTRIBUTE = 0x000C
 MSG_SYMBOL_TABLE = 0x0011
+
+FILTER_DEFLATE = 1
+
+# v1 chunk-B-tree fan-out: libhdf5's default "indexed storage internal
+# node K" is 32, i.e. up to 2K = 64 entries per node. The writer splits
+# at this bound so real readers accept its trees.
+CHUNK_BTREE_MAX = 64
 
 _FIXED_DTYPES = {1: "u1", 2: "u2", 4: "u4", 8: "u8"}
 
@@ -111,23 +127,143 @@ class _Writer:
             + value.tobytes(order="C")
         )
 
+    # -- chunked storage ---------------------------------------------------
+    def _chunk_key(
+        self, nbytes: int, mask: int, offsets: tuple[int, ...]
+    ) -> bytes:
+        return struct.pack("<II", nbytes, mask) + b"".join(
+            struct.pack("<Q", o) for o in offsets
+        )
+
+    def _chunk_btree(
+        self,
+        entries: list[tuple[tuple[int, ...], int, int, int]],
+        shape: tuple[int, ...],
+        chunks: tuple[int, ...],
+    ) -> int:
+        """Build a v1 B-tree (node type 1) over ``entries`` =
+        [(chunk offsets incl. trailing 0, data addr, stored nbytes,
+        filter mask)] in row-major chunk order; returns the root address.
+        Nodes split at CHUNK_BTREE_MAX so libhdf5's default fan-out
+        accepts them; sibling pointers are patched after allocation."""
+        # Sentinel final key for the rightmost node of every level: the
+        # offset of the chunk one past the whole grid (monotonically
+        # greater than every real key, as libhdf5 writes it).
+        past_end = tuple(
+            -(-s // c) * c for s, c in zip(shape, chunks)
+        ) + (0,)
+        sentinel = self._chunk_key(0, 0, past_end)
+
+        # level-0 nodes: [(first_key, node_bytes_sans_siblings)]
+        def build_nodes(
+            items: list[tuple[bytes, int]], level: int
+        ) -> list[tuple[bytes, int]]:
+            """items: [(key, child_addr)] -> one btree level; returns
+            [(first_key, node_addr)] for the level above."""
+            groups = [
+                items[i : i + CHUNK_BTREE_MAX]
+                for i in range(0, len(items), CHUNK_BTREE_MAX)
+            ]
+            nodes: list[tuple[bytes, int]] = []
+            addrs: list[int] = []
+            for gi, grp in enumerate(groups):
+                body = b"".join(k + struct.pack("<Q", a) for k, a in grp)
+                final = (
+                    groups[gi + 1][0][0] if gi + 1 < len(groups) else sentinel
+                )
+                blob = (
+                    struct.pack("<4sBBH", b"TREE", 1, level, len(grp))
+                    + struct.pack("<QQ", UNDEF, UNDEF)
+                    + body
+                    + final
+                )
+                addrs.append(self.alloc(blob))
+                nodes.append((grp[0][0], addrs[-1]))
+            for i, addr in enumerate(addrs):  # sibling patch
+                left = addrs[i - 1] if i > 0 else UNDEF
+                right = addrs[i + 1] if i + 1 < len(addrs) else UNDEF
+                self.buf[addr + 8 : addr + 24] = struct.pack(
+                    "<QQ", left, right
+                )
+            return nodes
+
+        items = [
+            (self._chunk_key(nbytes, mask, offs), addr)
+            for offs, addr, nbytes, mask in entries
+        ]
+        level = 0
+        while True:
+            nodes = build_nodes(items, level)
+            if len(nodes) == 1:
+                return nodes[0][1]
+            items = nodes
+            level += 1
+
     # -- nodes -------------------------------------------------------------
     def write_dataset(
-        self, data: np.ndarray, attrs: dict[str, np.ndarray] | None = None
+        self,
+        data: np.ndarray,
+        attrs: dict[str, np.ndarray] | None = None,
+        chunks: tuple[int, ...] | None = None,
+        compression: str | None = None,
+        compression_level: int = 4,
     ) -> int:
         data = np.ascontiguousarray(data)
         le = data.astype(data.dtype.newbyteorder("<"), copy=False)
-        raw_addr = self.alloc(le.tobytes(order="C"))
         messages = [
             (MSG_DATASPACE, self._dataspace_body(data.shape)),
             (MSG_DATATYPE, self._datatype_body(data.dtype)),
             # fill value v2, undefined (no fill written)
             (MSG_FILL_VALUE, struct.pack("<BBBB", 2, 1, 0, 0)),
-            (
-                MSG_LAYOUT,
-                struct.pack("<BBQQ", 3, 1, raw_addr, data.nbytes),
-            ),
         ]
+        if chunks is None:
+            if compression is not None:
+                raise ValueError("minihdf5: compression requires chunks")
+            raw_addr = self.alloc(le.tobytes(order="C"))
+            messages.append(
+                (MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, raw_addr, data.nbytes))
+            )
+        else:
+            chunks = tuple(int(c) for c in chunks)
+            if len(chunks) != data.ndim:
+                raise ValueError("minihdf5: chunks rank != data rank")
+            if compression not in (None, "gzip"):
+                raise ValueError(
+                    f"minihdf5: unsupported compression {compression!r}"
+                )
+            entries = []
+            for offs in itertools.product(
+                *[range(0, s, c) for s, c in zip(data.shape, chunks)]
+            ):
+                sl = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(offs, chunks, data.shape)
+                )
+                block = le[sl]
+                if block.shape != chunks:
+                    # Edge chunks are stored full-size per the spec
+                    # (fill-padded); readers clip via the dataspace dims.
+                    pad = np.zeros(chunks, dtype=le.dtype)
+                    pad[tuple(slice(0, e) for e in block.shape)] = block
+                    block = pad
+                blob = block.tobytes(order="C")
+                if compression == "gzip":
+                    blob = zlib.compress(blob, compression_level)
+                entries.append((offs + (0,), self.alloc(blob), len(blob), 0))
+            btree_addr = self._chunk_btree(entries, data.shape, chunks)
+            body = struct.pack("<BBB", 3, 2, data.ndim + 1)
+            body += struct.pack("<Q", btree_addr)
+            body += b"".join(struct.pack("<I", c) for c in chunks)
+            body += struct.pack("<I", data.dtype.itemsize)
+            messages.append((MSG_LAYOUT, body))
+            if compression == "gzip":
+                # filter pipeline v1: deflate, 1 client value (level),
+                # odd count -> 4 pad bytes
+                filt = struct.pack("<BB6x", 1, 1)
+                filt += struct.pack(
+                    "<HHHH", FILTER_DEFLATE, 0, 0, 1
+                ) + struct.pack("<I", compression_level) + b"\x00" * 4
+                messages.append((MSG_FILTER_PIPELINE, filt))
         for aname, aval in (attrs or {}).items():
             messages.append((MSG_ATTRIBUTE, self._attribute_body(aname, aval)))
         return self._object_header(messages)
@@ -196,9 +332,12 @@ class _Writer:
 def write_file(path: str, tree: dict) -> str:
     """Write a nested dict tree to an HDF5 file.
 
-    ``tree`` values: nested dict = group; np.ndarray = dataset. A group
-    dict may carry an ``"@attrs"`` key (dict of name -> np.ndarray of S1
-    chars, as Imaris stores scalars).
+    ``tree`` values: nested dict = group; np.ndarray = dataset
+    (contiguous layout); ``(np.ndarray, opts_dict)`` = dataset with
+    storage options (``chunks``, ``compression``, ``compression_level``
+    — see ``_Writer.write_dataset``). A group dict may carry an
+    ``"@attrs"`` key (dict of name -> np.ndarray of S1 chars, as Imaris
+    stores scalars).
     """
     w = _Writer()
 
@@ -209,6 +348,9 @@ def write_file(path: str, tree: dict) -> str:
                 continue
             if isinstance(val, dict):
                 children[name] = emit(val)
+            elif isinstance(val, tuple):
+                arr, opts = val
+                children[name] = w.write_dataset(np.asarray(arr), **opts)
             else:
                 children[name] = w.write_dataset(np.asarray(val))
         return w.write_group(children, node.get("@attrs"))
@@ -244,6 +386,102 @@ class Dataset:
 
     def __getitem__(self, sl):
         return np.asarray(self._mm[sl])
+
+
+class ChunkedDataset:
+    """Chunked (layout class 2) dataset: hyperslab reads touch only the
+    chunks that intersect the selection, decompressing each at most once
+    — the same access pattern libhdf5 gives the reference's
+    native-chunk-aligned reads (utils/io_utils.py:96-99)."""
+
+    def __init__(
+        self, file: "File", shape, dtype, chunk_dims, btree_addr, filters,
+        attrs,
+    ):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self.attrs = attrs
+        self._file = file
+        self._chunks = tuple(chunk_dims)
+        self._btree_addr = btree_addr
+        self._filters = filters  # [(filter_id, flags, client_values)]
+        self._index: dict[tuple[int, ...], tuple[int, int, int]] | None = None
+
+    def _chunk_index(self) -> dict[tuple[int, ...], tuple[int, int, int]]:
+        """offsets -> (addr, stored nbytes, filter mask), built by one
+        B-tree walk on first access and cached (a real 100k-chunk .ims
+        index is ~5 MB — cheap next to the voxel payload)."""
+        if self._index is None:
+            self._index = {}
+            self._walk(self._btree_addr, len(self.shape))
+        return self._index
+
+    def _walk(self, addr: int, rank: int) -> None:
+        raw = self._file._raw
+        sig, ntype, level, used = struct.unpack_from("<4sBBH", raw, addr)
+        assert sig == b"TREE" and ntype == 1, "bad chunk B-tree node"
+        key_size = 8 + (rank + 1) * 8
+        pos = addr + 8 + 16  # skip siblings
+        for _ in range(used):
+            nbytes, mask = struct.unpack_from("<II", raw, pos)
+            offs = struct.unpack_from(f"<{rank + 1}Q", raw, pos + 8)
+            child = struct.unpack_from("<Q", raw, pos + key_size)[0]
+            pos += key_size + 8
+            if level > 0:
+                self._walk(child, rank)
+            else:
+                self._index[offs[:rank]] = (child, nbytes, mask)
+
+    def _decode_chunk(self, addr: int, nbytes: int, mask: int) -> np.ndarray:
+        blob = bytes(self._file._raw[addr : addr + nbytes])
+        for i, (fid, _flags, _vals) in enumerate(self._filters):
+            if mask & (1 << i):  # filter skipped for this chunk
+                continue
+            if fid == FILTER_DEFLATE:
+                blob = zlib.decompress(blob)
+            else:
+                raise ValueError(f"minihdf5: unsupported filter id {fid}")
+        return np.frombuffer(blob, dtype=self.dtype).reshape(self._chunks)
+
+    def __getitem__(self, sl):
+        if not isinstance(sl, tuple):
+            sl = (sl,)
+        if any(s is Ellipsis for s in sl):
+            raise TypeError("minihdf5: Ellipsis indexing not supported")
+        sl = sl + (slice(None),) * (len(self.shape) - len(sl))
+        bounds = []
+        for s, dim in zip(sl, self.shape):
+            if not isinstance(s, slice) or s.step not in (None, 1):
+                raise TypeError(
+                    "minihdf5: only step-1 slice indexing on chunked data"
+                )
+            bounds.append((min(s.start or 0, dim), min(
+                dim if s.stop is None else s.stop, dim)))
+        out = np.zeros(
+            tuple(max(0, b1 - b0) for b0, b1 in bounds), dtype=self.dtype
+        )
+        if out.size == 0:
+            return out
+        index = self._chunk_index()
+        grids = [
+            range(b0 // c * c, b1, c)
+            for (b0, b1), c in zip(bounds, self._chunks)
+        ]
+        for corner in itertools.product(*grids):
+            entry = index.get(corner)
+            if entry is None:  # unallocated chunk -> fill (zeros)
+                continue
+            chunk = self._decode_chunk(*entry)
+            src = tuple(
+                slice(max(b0 - o, 0), min(b1 - o, c))
+                for o, c, (b0, b1) in zip(corner, self._chunks, bounds)
+            )
+            dst = tuple(
+                slice(max(o - b0, 0), max(o - b0, 0) + (s.stop - s.start))
+                for o, (b0, _), s in zip(corner, bounds, src)
+            )
+            out[dst] = chunk[src]
+        return out
 
 
 class Group:
@@ -299,6 +537,8 @@ class File(Group):
         attrs: dict[str, np.ndarray] = {}
         links = None
         shape = dtype = data_addr = None
+        chunk_dims = chunk_btree = None
+        filters: list[tuple[int, int, tuple[int, ...]]] = []
         for _ in range(n_msgs):
             if pos >= end:
                 break
@@ -314,11 +554,19 @@ class File(Group):
                 dtype = self._parse_datatype(body)
             elif mtype == MSG_LAYOUT:
                 v, cls = body[0], body[1]
-                if v != 3 or cls != 1:
+                if v != 3 or cls not in (1, 2):
                     raise ValueError(
-                        "minihdf5: only v3 contiguous layout supported"
+                        "minihdf5: only v3 contiguous/chunked layout"
                     )
-                data_addr = struct.unpack("<Q", body[2:10])[0]
+                if cls == 1:
+                    data_addr = struct.unpack("<Q", body[2:10])[0]
+                else:  # chunked: dimensionality incl. element-size dim
+                    ndims = body[2]
+                    chunk_btree = struct.unpack("<Q", body[3:11])[0]
+                    dims = struct.unpack_from(f"<{ndims}I", body, 11)
+                    chunk_dims = dims[:-1]  # last = element size
+            elif mtype == MSG_FILTER_PIPELINE:
+                filters = self._parse_filter_pipeline(body)
             elif mtype == MSG_ATTRIBUTE:
                 name, value = self._parse_attribute(body)
                 attrs[name] = value
@@ -328,6 +576,10 @@ class File(Group):
                 )
         if links is not None:
             return links, attrs
+        if chunk_dims is not None:
+            return ChunkedDataset(
+                self, shape, dtype, chunk_dims, chunk_btree, filters, attrs
+            )
         return Dataset(self.path, shape, dtype, data_addr, attrs)
 
     def _read_group_links(self, btree_addr: int, heap_addr: int):
@@ -392,6 +644,27 @@ class File(Group):
             return np.dtype(f"S{size}")
         raise ValueError(f"minihdf5: unsupported datatype class {cls}")
 
+    def _parse_filter_pipeline(
+        self, body: bytes
+    ) -> list[tuple[int, int, tuple[int, ...]]]:
+        """-> [(filter id, flags, client values)] in pipeline order."""
+        version, nfilters = body[0], body[1]
+        if version != 1:
+            raise ValueError("minihdf5: only v1 filter pipeline")
+        filters = []
+        pos = 8
+        for _ in range(nfilters):
+            fid, name_len, flags, n_vals = struct.unpack_from(
+                "<HHHH", body, pos
+            )
+            pos += 8 + name_len  # name is pre-padded to a multiple of 8
+            vals = struct.unpack_from(f"<{n_vals}I", body, pos)
+            pos += n_vals * 4
+            if n_vals % 2:
+                pos += 4  # odd client-value count -> 4 pad bytes
+            filters.append((fid, flags, vals))
+        return filters
+
     def _parse_attribute(self, body: bytes):
         _v, name_size, dt_size, ds_size = struct.unpack_from("<BxHHH", body)
         pos = 8
@@ -415,7 +688,7 @@ class File(Group):
             if addr is None:
                 return None
             parsed = self._read_object(addr)
-            if isinstance(parsed, Dataset):
+            if isinstance(parsed, (Dataset, ChunkedDataset)):
                 node = parsed
             else:
                 links, attrs = parsed

@@ -200,6 +200,8 @@ def write_imaris_file(
     voxel_size: tuple[float, float, float] = (1.0, 1.0, 1.0),
     timepoint: int = 0,
     channel: int = 0,
+    chunks: tuple[int, int, int] | None = None,
+    compression: str | None = None,
 ) -> str:
     """Write a minimal Imaris-layout HDF5 file (test fixture twin of the
     reference's fixture writer, tests/test_imaris_job.py).
@@ -209,8 +211,22 @@ def write_imaris_file(
     in DataSetInfo (defaults to levels[0].shape, i.e. no padding).
     Scalar attrs are stored as byte-char arrays — the quirk readers must
     ``.tobytes()`` through (reference utils/io_utils.py:461-466).
+    ``chunks``/``compression`` select chunked (optionally gzip'd) Data
+    datasets — the layout real Imaris files use (the reference plans
+    reads around native HDF5 chunks, utils/io_utils.py:96-99).
     """
     from . import minihdf5
+
+    def data_leaf(arr: np.ndarray):
+        if chunks is None:
+            return arr
+        return (
+            arr,
+            {
+                "chunks": tuple(min(c, s) for c, s in zip(chunks, arr.shape)),
+                "compression": compression,
+            },
+        )
 
     mz, my, mx = meta_shape or levels[0].shape
     ext_max = (
@@ -223,7 +239,7 @@ def write_imaris_file(
         f"ResolutionLevel {lvl}": {
             f"TimePoint {timepoint}": {
                 f"Channel {channel}": {
-                    "Data": arr,
+                    "Data": data_leaf(arr),
                     "@attrs": {
                         "ImageSizeZ": a(arr.shape[0]),
                         "ImageSizeY": a(arr.shape[1]),
