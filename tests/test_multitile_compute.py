@@ -63,6 +63,49 @@ def test_shard_mode_computed_pyramid(spark, tmp_path):
         np.testing.assert_array_equal(got2, want2)
 
 
+def test_spark_job_count_is_one_action_per_level(spark, tmp_path):
+    """Listener-counted contract for the 100-tile claim: 32 tiles with a
+    3-level computed pyramid run exactly 1 + (levels-1) = 3 Spark jobs —
+    job count independent of tile count. AQE is disabled for the
+    measurement so one action maps to one Spark job (AQE materializes
+    shuffle stages as extra jobs; it changes scheduling, not the action
+    count)."""
+    sc = spark.sparkContext
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    rng = np.random.default_rng(11)
+    tiles = []
+    for i in range(32):
+        arr = rng.integers(0, 65535, size=(16, 16, 16), dtype=np.uint16)
+        src = str(tmp_path / f"jc_tile{i}")
+        write_npy_pyramid(src, arr, n_levels=1)
+        tiles.append((src, str(tmp_path / f"jc_store{i}.zarr")))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("multitile-job-count", "count actions per level")
+        result = convert_tiles_to_zarr(
+            spark,
+            tiles,
+            ConvertJobSettings(
+                input_source="ignored",
+                output_location="ignored",
+                chunk_shape=(8, 8, 8),
+                shard_shape=(8, 8, 8),
+                translate_pyramid=False,
+                downsample_levels=3,
+                downsample_mode="mean",
+            ),
+        )
+        job_ids = sc.statusTracker().getJobIdsForGroup(
+            "multitile-job-count"
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    assert result["n_tiles"] == 32 and result["n_shards"] == 8 * 32
+    assert len(result["downsample_stages"]) == 2
+    assert len(job_ids) == 1 + (3 - 1)
+
+
 def test_downsample_stage_count_independent_of_tiles(spark, tmp_path):
     """Job-count contract: L-1 downsample stages whether 1 or 3 tiles."""
     rng = np.random.default_rng(7)
