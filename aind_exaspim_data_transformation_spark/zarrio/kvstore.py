@@ -25,9 +25,28 @@ from __future__ import annotations
 
 import io
 import os
+import time
 from urllib.parse import urlparse
 
 _S3_SCHEMES = ("s3://", "s3+local://")
+
+# S3 throttling/transient codes worth retrying (public S3 error model:
+# 503 SlowDown is the canonical "back off" signal). Spark task retries
+# would also recover, but resubmitting a whole task for one throttled
+# PUT is wasteful at 100k-shard scale — back off in place instead.
+_RETRYABLE_CODES = {
+    "SlowDown",
+    "ServiceUnavailable",
+    "RequestTimeout",
+    "RequestTimeoutException",
+    "Throttling",
+    "ThrottlingException",
+    "RequestLimitExceeded",
+    "InternalError",
+    "500",
+    "503",
+}
+_MAX_TRIES = 5
 
 # test/driver injection point: when set, used for every s3:// client
 _INJECTED_S3_CLIENT = None
@@ -117,10 +136,30 @@ def _client(scheme: str, root: str):
     if client is None:
         if scheme == "s3+local":
             client = FilesystemS3Client(root)
-        else:  # pragma: no cover - needs credentials/network
+        else:
             import boto3
 
-            client = boto3.client("s3")
+            endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+            if endpoint:
+                # LocalStack/MinIO-style endpoint override (also how the
+                # in-process test server exercises this branch). Inner
+                # botocore retries are disabled so the kv-layer backoff
+                # below is the single, deterministic retry policy.
+                from botocore.config import Config
+
+                client = boto3.client(
+                    "s3",
+                    endpoint_url=endpoint,
+                    aws_access_key_id="local",
+                    aws_secret_access_key="local",
+                    region_name="us-east-1",
+                    config=Config(
+                        retries={"max_attempts": 1},
+                        request_checksum_calculation="when_required",
+                    ),
+                )
+            else:  # pragma: no cover - needs credentials/network
+                client = boto3.client("s3")
         _CLIENT_CACHE.clear()  # drop pre-fork clients
         _CLIENT_CACHE[cache_key] = client
     return client
@@ -134,6 +173,29 @@ def _is_missing_err(exc: Exception) -> bool:
         code = str(resp.get("Error", {}).get("Code", ""))
         return code in ("NoSuchKey", "404", "NotFound")
     return False
+
+
+def _is_retryable_err(exc: Exception) -> bool:
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        code = str(resp.get("Error", {}).get("Code", ""))
+        return code in _RETRYABLE_CODES
+    return False
+
+
+def _with_retries(fn):
+    """Run ``fn`` with exponential backoff on throttling codes; every
+    retried call is an idempotent single-object PUT/GET, so repeating is
+    always safe. Base delay via $SPARK_GRAFT_S3_BACKOFF (seconds)."""
+    delay = float(os.environ.get("SPARK_GRAFT_S3_BACKOFF", "0.5"))
+    for attempt in range(_MAX_TRIES):
+        try:
+            return fn()
+        except Exception as exc:
+            if attempt == _MAX_TRIES - 1 or not _is_retryable_err(exc):
+                raise
+            time.sleep(delay)
+            delay *= 2
 
 
 def kv_join(base: str, *parts: str) -> str:
@@ -151,8 +213,9 @@ def kv_put(path: str, blob: bytes) -> str:
         bucket, k = (
             (bucket_or_root, key) if scheme == "s3" else _fake_bucket(key)
         )
-        _client(scheme, bucket_or_root).put_object(
-            Bucket=bucket, Key=k, Body=blob
+        client = _client(scheme, bucket_or_root)
+        _with_retries(
+            lambda: client.put_object(Bucket=bucket, Key=k, Body=blob)
         )
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -175,7 +238,9 @@ def kv_get(path: str) -> bytes | None:
             else _fake_bucket(key)
         )
         try:
-            return client.get_object(Bucket=bucket, Key=k)["Body"].read()
+            return _with_retries(
+                lambda: client.get_object(Bucket=bucket, Key=k)["Body"].read()
+            )
         except Exception as exc:
             if _is_missing_err(exc):
                 return None
