@@ -101,3 +101,94 @@ def q_zarr_roundtrip_voxelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.mapInPandas(
         sums, "iz long, iy long, ix long, voxel_sum long, n_voxels long"
     )
+
+
+_IZ, _IY, _IX = 48, 48, 48  # .ims fixture shape
+_ISHARD = 20  # non-divisible -> clamped edge shards under the oracle
+
+
+@query(
+    "q_ims_chunked_roundtrip_voxelsum",
+    oracle=f"""
+WITH zc AS (SELECT unnest(range(0, {_IZ})) AS z),
+coords AS (
+  SELECT z.z, y.y, x.x,
+    ((z.z * {_IY} + y.y) * {_IX} + x.x) % 65536 AS val
+  FROM zc z
+  CROSS JOIN (SELECT unnest(range(0, {_IY})) AS y) y
+  CROSS JOIN (SELECT unnest(range(0, {_IX})) AS x) x)
+SELECT z // {_ISHARD} AS iz, y // {_ISHARD} AS iy, x // {_ISHARD} AS ix,
+  CAST(SUM(val) AS BIGINT) AS voxel_sum,
+  COUNT(*) AS n_voxels
+FROM coords
+GROUP BY 1, 2, 3
+""",
+)
+def q_ims_chunked_roundtrip_voxelsum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production-shaped HDF5 under the oracle gate: a chunked+gzip'd
+    .ims (decoded by minihdf5's v1 chunk B-tree reader, reference
+    utils/io_utils.py:96-99) -> superchunk-coalesced reads -> Zarr v3
+    -> per-shard voxel sums vs DuckDB's closed-form recomputation. The
+    20³ shard grid over a 48³ volume exercises clamped edge shards, and
+    the 16³ HDF5 chunks never align with shard or superchunk bounds."""
+    from ..sources.tensor import write_imaris_file
+    from ..sources.zarr_datasource import ZarrShardDataSource
+
+    base = os.path.join(tempfile.gettempdir(), "zarr_oracle_ims_chunked")
+    ims = os.path.join(base, "tile_000000_ch_488.ims")
+    store = os.path.join(base, "roundtrip.zarr")
+    os.makedirs(base, exist_ok=True)
+    zz, yy, xx = np.meshgrid(
+        np.arange(_IZ, dtype=np.int64),
+        np.arange(_IY, dtype=np.int64),
+        np.arange(_IX, dtype=np.int64),
+        indexing="ij",
+    )
+    arr = (((zz * _IY + yy) * _IX + xx) % 65536).astype(np.uint16)
+    # Deterministic bytes (no timestamps in minihdf5, gzip via zlib) =>
+    # idempotent re-writes, same as the shard store.
+    write_imaris_file(ims, [arr], chunks=(16, 16, 16), compression="gzip")
+    convert_to_zarr(
+        spark,
+        ConvertJobSettings(
+            input_source=ims,
+            output_location=store,
+            chunk_shape=(10, 10, 10),
+            shard_shape=(_ISHARD, _ISHARD, _ISHARD),
+            translate_pyramid=True,
+            codec="gzip",
+            codec_level=1,
+        ),
+    )
+    spark.dataSource.register(ZarrShardDataSource)
+    blocks = (
+        spark.read.format("zarrshards")
+        .option("path", store)
+        .option("level", "0")
+        .option("payload", "true")
+        .load()
+    )
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = np.frombuffer(row.payload, dtype=np.uint16)
+                out.append(
+                    (
+                        row.iz,
+                        row.iy,
+                        row.ix,
+                        int(a.astype(np.int64).sum()),
+                        len(a),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["iz", "iy", "ix", "voxel_sum", "n_voxels"]
+            )
+
+    return blocks.mapInPandas(
+        sums, "iz long, iy long, ix long, voxel_sum long, n_voxels long"
+    )
