@@ -46,18 +46,44 @@ try:  # optional fast path when the zstandard wheel exists
     def zstd_compress(data: bytes, level: int = 3) -> bytes:
         return _zstd.ZstdCompressor(level=level).compress(data)
 
-    def zstd_decompress(data: bytes) -> bytes:
+    def zstd_decompress(data: bytes, expected_size: int | None = None) -> bytes:
         return _zstd.ZstdDecompressor().decompress(data)
 
     HAVE_ZSTD = True
-except ImportError:  # pragma: no cover - environment-dependent
-    HAVE_ZSTD = False
+except ImportError:
+    try:  # pyarrow bundles libzstd: same frames (magic 0x28b52ffd),
+        # deterministic per (input, level); its decompress API needs the
+        # output size, which the sharding_indexed decode always knows
+        # (chunk_shape x itemsize).
+        import pyarrow as _pa
 
-    def zstd_compress(data: bytes, level: int = 3) -> bytes:
-        raise NotImplementedError("zstandard module not available")
+        _pa.Codec("zstd")  # raises if built without zstd
 
-    def zstd_decompress(data: bytes) -> bytes:
-        raise NotImplementedError("zstandard module not available")
+        def zstd_compress(data: bytes, level: int = 3) -> bytes:
+            buf = _pa.Codec("zstd", compression_level=level).compress(data)
+            return buf if isinstance(buf, bytes) else buf.to_pybytes()
+
+        def zstd_decompress(
+            data: bytes, expected_size: int | None = None
+        ) -> bytes:
+            if expected_size is None:
+                raise NotImplementedError(
+                    "pyarrow zstd decode requires the decompressed size"
+                )
+            buf = _pa.Codec("zstd").decompress(data, expected_size)
+            return buf if isinstance(buf, bytes) else buf.to_pybytes()
+
+        HAVE_ZSTD = True
+    except Exception:  # pragma: no cover - env-dependent
+        HAVE_ZSTD = False
+
+        def zstd_compress(data: bytes, level: int = 3) -> bytes:
+            raise NotImplementedError("no zstd backend available")
+
+        def zstd_decompress(
+            data: bytes, expected_size: int | None = None
+        ) -> bytes:
+            raise NotImplementedError("no zstd backend available")
 
 
 def compress(data: bytes, codec: str, level: int) -> bytes:
@@ -72,11 +98,13 @@ def compress(data: bytes, codec: str, level: int) -> bytes:
     raise ValueError(f"unknown codec {codec!r}")
 
 
-def decompress(data: bytes, codec: str) -> bytes:
+def decompress(
+    data: bytes, codec: str, expected_size: int | None = None
+) -> bytes:
     if codec == "gzip":
         return _gzip.decompress(data)
     if codec == "zstd":
-        return zstd_decompress(data)
+        return zstd_decompress(data, expected_size)
     if codec == "none":
         return data
     raise ValueError(f"unknown codec {codec!r}")

@@ -173,11 +173,12 @@ def decode_shard(blob: bytes, spec: ShardSpec) -> np.ndarray:
     out = np.full(
         spec.shard_shape, spec.fill_value, dtype=spec.np_dtype
     )
+    chunk_nbytes = int(np.prod(spec.chunk_shape)) * spec.np_dtype.itemsize
     for flat, idx in enumerate(product(*(range(n) for n in cps))):
         off, nbytes = int(index[flat, 0]), int(index[flat, 1])
         if (off, nbytes) == _MISSING:
             continue
-        raw = decompress(blob[off : off + nbytes], spec.codec)
+        raw = decompress(blob[off : off + nbytes], spec.codec, chunk_nbytes)
         if spec.transpose_order is None:
             chunk = np.frombuffer(
                 raw, dtype=spec.np_dtype.newbyteorder("<")
