@@ -30,8 +30,11 @@ class ConvertJobSettings(BaseModel):
     downsample_mode: DownsampleMode = "mean"
     translate_pyramid: bool = True  # copy source levels vs recompute
 
-    codec: Literal["gzip", "zstd", "none"] = "gzip"
-    codec_level: int = 1
+    # zstd level 3 matches the reference's production codec chain
+    # (reference compress/imaris_to_zarr.py:223-242); gzip remains for
+    # environments with no zstd backend (zarrio.codecs.HAVE_ZSTD).
+    codec: Literal["gzip", "zstd", "none"] = "zstd"
+    codec_level: int = 3
     # inner transpose codec order ("C", "F", or None to omit) — the
     # reference always writes transpose(C) ahead of the compressor
     transpose_order: Literal["C", "F"] | None = None

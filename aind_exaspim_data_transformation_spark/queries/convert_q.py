@@ -30,10 +30,7 @@ from .registry import query
 _Z, _Y, _X = 64, 96, 80
 _SHARD = 32
 
-
-@query(
-    "q_zarr_roundtrip_voxelsum",
-    oracle=f"""
+_ROUNDTRIP_ORACLE = f"""
 WITH zc AS (SELECT unnest(range(0, {_Z})) AS z),
 coords AS (
   SELECT z.z, y.y, x.x,
@@ -46,39 +43,12 @@ SELECT z // {_SHARD} AS iz, y // {_SHARD} AS iy, x // {_SHARD} AS ix,
   COUNT(*) AS n_voxels
 FROM coords
 GROUP BY 1, 2, 3
-""",
-)
-def q_zarr_roundtrip_voxelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.zarr_datasource import ZarrShardDataSource
-    from ..zarrio.format import read_array_metadata
+"""
 
-    # Fixed path + idempotent byte-identical writes => repeated harness
-    # runs reuse the same store instead of accumulating temp dirs.
-    store = os.path.join(
-        tempfile.gettempdir(), "zarr_oracle_roundtrip", "roundtrip.zarr"
-    )
-    convert_to_zarr(
-        spark,
-        ConvertJobSettings(
-            input_source=f"synth://{_Z},{_Y},{_X},1",
-            output_location=store,
-            chunk_shape=(16, 16, 16),
-            shard_shape=(_SHARD, _SHARD, _SHARD),
-            translate_pyramid=True,
-            codec="gzip",
-            codec_level=1,
-        ),
-    )
-    # Read the store back through the zarrshards DataSource and reduce
-    # each payload to its voxel sum (executor-side, Arrow-batched).
-    spark.dataSource.register(ZarrShardDataSource)
-    blocks = (
-        spark.read.format("zarrshards")
-        .option("path", store)
-        .option("level", "0")
-        .option("payload", "true")
-        .load()
-    )
+
+def _shard_sums(blocks: DataFrame) -> DataFrame:
+    """Reduce each shard payload to (index, voxel sum, count) —
+    executor-side, Arrow-batched."""
 
     def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,6 +71,53 @@ def q_zarr_roundtrip_voxelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.mapInPandas(
         sums, "iz long, iy long, ix long, voxel_sum long, n_voxels long"
     )
+
+
+def _roundtrip_voxelsum(
+    spark: SparkSession, subdir: str, codec: str, codec_level: int
+) -> DataFrame:
+    from ..sources.zarr_datasource import ZarrShardDataSource
+
+    # Fixed path + idempotent byte-identical writes => repeated harness
+    # runs reuse the same store instead of accumulating temp dirs.
+    store = os.path.join(tempfile.gettempdir(), subdir, "roundtrip.zarr")
+    convert_to_zarr(
+        spark,
+        ConvertJobSettings(
+            input_source=f"synth://{_Z},{_Y},{_X},1",
+            output_location=store,
+            chunk_shape=(16, 16, 16),
+            shard_shape=(_SHARD, _SHARD, _SHARD),
+            translate_pyramid=True,
+            codec=codec,
+            codec_level=codec_level,
+        ),
+    )
+    spark.dataSource.register(ZarrShardDataSource)
+    blocks = (
+        spark.read.format("zarrshards")
+        .option("path", store)
+        .option("level", "0")
+        .option("payload", "true")
+        .load()
+    )
+    return _shard_sums(blocks)
+
+
+@query("q_zarr_roundtrip_voxelsum", oracle=_ROUNDTRIP_ORACLE)
+def q_zarr_roundtrip_voxelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip_voxelsum(spark, "zarr_oracle_roundtrip", "gzip", 1)
+
+
+@query("q_zarr_roundtrip_voxelsum_zstd", oracle=_ROUNDTRIP_ORACLE)
+def q_zarr_roundtrip_voxelsum_zstd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production codec chain (zstd-3, reference
+    compress/imaris_to_zarr.py:223-242) under the same voxel-exact gate:
+    any byte-level divergence in the zstd encode/decode path breaks the
+    closed-form sums."""
+    return _roundtrip_voxelsum(spark, "zarr_oracle_roundtrip_zstd", "zstd", 3)
 
 
 _IZ, _IY, _IX = 48, 48, 48  # .ims fixture shape
@@ -170,25 +187,4 @@ def q_ims_chunked_roundtrip_voxelsum(
         .option("payload", "true")
         .load()
     )
-
-    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                a = np.frombuffer(row.payload, dtype=np.uint16)
-                out.append(
-                    (
-                        row.iz,
-                        row.iy,
-                        row.ix,
-                        int(a.astype(np.int64).sum()),
-                        len(a),
-                    )
-                )
-            yield pd.DataFrame(
-                out, columns=["iz", "iy", "ix", "voxel_sum", "n_voxels"]
-            )
-
-    return blocks.mapInPandas(
-        sums, "iz long, iy long, ix long, voxel_sum long, n_voxels long"
-    )
+    return _shard_sums(blocks)

@@ -40,6 +40,14 @@ def crc32c(data: bytes, value: int = 0) -> int:
     return int(crc ^ np.uint32(0xFFFFFFFF))
 
 
+# zstd backend selection. Determinism scope: frames are deterministic per
+# (input bytes, level) WITHIN one backend+libzstd version, but the
+# zstandard wheel and pyarrow's bundled libzstd are not guaranteed to emit
+# byte-identical frames for the same input. The idempotent-rewrite
+# guarantee (same shard key -> same bytes on re-run) therefore holds per
+# environment; switching backends between a run and its resume may rewrite
+# shards with different (still valid) bytes. ``zstd_backend_info()``
+# reports the active backend so callers can record it next to a store.
 try:  # optional fast path when the zstandard wheel exists
     import zstandard as _zstd
 
@@ -50,6 +58,7 @@ try:  # optional fast path when the zstandard wheel exists
         return _zstd.ZstdDecompressor().decompress(data)
 
     HAVE_ZSTD = True
+    ZSTD_BACKEND = ("zstandard", getattr(_zstd, "__version__", "?"))
 except ImportError:
     try:  # pyarrow bundles libzstd: same frames (magic 0x28b52ffd),
         # deterministic per (input, level); its decompress API needs the
@@ -74,8 +83,10 @@ except ImportError:
             return buf if isinstance(buf, bytes) else buf.to_pybytes()
 
         HAVE_ZSTD = True
+        ZSTD_BACKEND = ("pyarrow", _pa.__version__)
     except Exception:  # pragma: no cover - env-dependent
         HAVE_ZSTD = False
+        ZSTD_BACKEND = (None, None)
 
         def zstd_compress(data: bytes, level: int = 3) -> bytes:
             raise NotImplementedError("no zstd backend available")
@@ -84,6 +95,13 @@ except ImportError:
             data: bytes, expected_size: int | None = None
         ) -> bytes:
             raise NotImplementedError("no zstd backend available")
+
+
+def zstd_backend_info() -> tuple[str | None, str | None]:
+    """(backend name, version) of the active zstd implementation — record
+    this next to a store if a resume must detect a backend switch (frames
+    differ across backends; see module comment on determinism scope)."""
+    return ZSTD_BACKEND
 
 
 def compress(data: bytes, codec: str, level: int) -> bytes:

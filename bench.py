@@ -86,7 +86,8 @@ def main() -> None:
     # Tensor conversion throughput (the reference's core workload;
     # BASELINE.md comparable: 0.084 GB/s at 8-16 workers). Warm the
     # Python workers with a tiny run, then convert 4.3 GB synthetic
-    # uint16 through the shard writer with gzip compression.
+    # uint16 through the shard writer with zstd-3 (the production codec,
+    # matching the reference's chain).
     with tempfile.TemporaryDirectory() as tmp:
         convert_to_zarr(
             spark,
@@ -109,8 +110,8 @@ def main() -> None:
                     chunk_shape=(64, 64, 64),
                     shard_shape=(128, 128, 128),
                     translate_pyramid=True,
-                    codec="gzip",
-                    codec_level=1,
+                    codec="zstd",
+                    codec_level=3,
                 ),
             )
             conv_runs.append(time.monotonic() - t0)

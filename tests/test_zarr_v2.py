@@ -60,6 +60,10 @@ def test_convert_to_zarr_v2_store(spark, tmp_path):
             input_source=src,
             output_location=store,
             chunk_shape=(16, 16, 16),
+            # v2 has no zstd in this environment: the writer maps any
+            # codec onto zlib at codec_level — pin the legacy pairing
+            codec="gzip",
+            codec_level=1,
         ),
     )
     assert result["n_levels"] == 2
