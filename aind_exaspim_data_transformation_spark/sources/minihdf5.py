@@ -30,9 +30,12 @@ exactly what ``Hdf5ImarisSource`` consumes; when h5py exists it wins (see
 ``tensor.open_h5``), and files written here are spec-conformant so h5py
 can cross-check them (tests/test_imaris_hdf5.py gates that on import).
 
-Deliberately NOT supported: v2 B-trees, fractal heaps, non-deflate
-filters (shuffle/fletcher32/szip), >1 group B-tree level (the writer
-caps children per group well below the leaf k), non-ASCII link names.
+Supported filters: deflate (id 1, raw zlib streams) and shuffle (id 2,
+byte de-interleave — real microscopy HDF5 commonly pairs shuffle+deflate;
+the reference reads them transparently via h5py, utils/io_utils.py:
+122-151). Deliberately NOT supported: v2 B-trees, fractal heaps,
+fletcher32/szip filters, >1 group B-tree level (the writer caps children
+per group well below the leaf k), non-ASCII link names.
 """
 
 from __future__ import annotations
@@ -59,6 +62,27 @@ MSG_ATTRIBUTE = 0x000C
 MSG_SYMBOL_TABLE = 0x0011
 
 FILTER_DEFLATE = 1
+FILTER_SHUFFLE = 2
+
+
+def shuffle_bytes(blob: bytes, itemsize: int) -> bytes:
+    """HDF5 shuffle filter (forward): interleave so byte k of every
+    element is contiguous. Trailing bytes that don't fill an element are
+    passed through, as libhdf5 does."""
+    if itemsize <= 1:
+        return blob
+    n = len(blob) // itemsize
+    body = np.frombuffer(blob, np.uint8, count=n * itemsize)
+    return body.reshape(n, itemsize).T.tobytes() + blob[n * itemsize :]
+
+
+def unshuffle_bytes(blob: bytes, itemsize: int) -> bytes:
+    """HDF5 shuffle filter (inverse): byte de-interleave."""
+    if itemsize <= 1:
+        return blob
+    n = len(blob) // itemsize
+    body = np.frombuffer(blob, np.uint8, count=n * itemsize)
+    return body.reshape(itemsize, n).T.tobytes() + blob[n * itemsize :]
 
 # v1 chunk-B-tree fan-out: libhdf5's default "indexed storage internal
 # node K" is 32, i.e. up to 2K = 64 entries per node. The writer splits
@@ -207,6 +231,7 @@ class _Writer:
         chunks: tuple[int, ...] | None = None,
         compression: str | None = None,
         compression_level: int = 4,
+        shuffle: bool = False,
     ) -> int:
         data = np.ascontiguousarray(data)
         le = data.astype(data.dtype.newbyteorder("<"), copy=False)
@@ -217,7 +242,7 @@ class _Writer:
             (MSG_FILL_VALUE, struct.pack("<BBBB", 2, 1, 0, 0)),
         ]
         if chunks is None:
-            if compression is not None:
+            if compression is not None or shuffle:
                 raise ValueError("minihdf5: compression requires chunks")
             raw_addr = self.alloc(le.tobytes(order="C"))
             messages.append(
@@ -247,6 +272,8 @@ class _Writer:
                     pad[tuple(slice(0, e) for e in block.shape)] = block
                     block = pad
                 blob = block.tobytes(order="C")
+                if shuffle:
+                    blob = shuffle_bytes(blob, le.dtype.itemsize)
                 if compression == "gzip":
                     blob = zlib.compress(blob, compression_level)
                 entries.append((offs + (0,), self.alloc(blob), len(blob), 0))
@@ -256,13 +283,23 @@ class _Writer:
             body += b"".join(struct.pack("<I", c) for c in chunks)
             body += struct.pack("<I", data.dtype.itemsize)
             messages.append((MSG_LAYOUT, body))
-            if compression == "gzip":
-                # filter pipeline v1: deflate, 1 client value (level),
-                # odd count -> 4 pad bytes
-                filt = struct.pack("<BB6x", 1, 1)
-                filt += struct.pack(
-                    "<HHHH", FILTER_DEFLATE, 0, 0, 1
-                ) + struct.pack("<I", compression_level) + b"\x00" * 4
+            if compression == "gzip" or shuffle:
+                # filter pipeline v1, records in WRITE order (shuffle
+                # before deflate); each record: 8-byte header + client
+                # values (1 each here), odd count -> 4 pad bytes
+                records = b""
+                nfilt = 0
+                if shuffle:
+                    records += struct.pack(
+                        "<HHHH", FILTER_SHUFFLE, 0, 0, 1
+                    ) + struct.pack("<I", le.dtype.itemsize) + b"\x00" * 4
+                    nfilt += 1
+                if compression == "gzip":
+                    records += struct.pack(
+                        "<HHHH", FILTER_DEFLATE, 0, 0, 1
+                    ) + struct.pack("<I", compression_level) + b"\x00" * 4
+                    nfilt += 1
+                filt = struct.pack("<BB6x", 1, nfilt) + records
                 messages.append((MSG_FILTER_PIPELINE, filt))
         for aname, aval in (attrs or {}).items():
             messages.append((MSG_ATTRIBUTE, self._attribute_body(aname, aval)))
@@ -334,8 +371,8 @@ def write_file(path: str, tree: dict) -> str:
 
     ``tree`` values: nested dict = group; np.ndarray = dataset
     (contiguous layout); ``(np.ndarray, opts_dict)`` = dataset with
-    storage options (``chunks``, ``compression``, ``compression_level``
-    — see ``_Writer.write_dataset``). A group dict may carry an
+    storage options (``chunks``, ``compression``, ``compression_level``,
+    ``shuffle`` — see ``_Writer.write_dataset``). A group dict may carry an
     ``"@attrs"`` key (dict of name -> np.ndarray of S1 chars, as Imaris
     stores scalars).
     """
@@ -434,13 +471,26 @@ class ChunkedDataset:
 
     def _decode_chunk(self, addr: int, nbytes: int, mask: int) -> np.ndarray:
         blob = bytes(self._file._raw[addr : addr + nbytes])
-        for i, (fid, _flags, _vals) in enumerate(self._filters):
+        # The pipeline lists filters in write order; decoding inverts
+        # them in REVERSE (deflate inverse before shuffle inverse for
+        # the common shuffle+deflate pairing).
+        for i, (fid, _flags, vals) in reversed(
+            list(enumerate(self._filters))
+        ):
             if mask & (1 << i):  # filter skipped for this chunk
                 continue
             if fid == FILTER_DEFLATE:
                 blob = zlib.decompress(blob)
+            elif fid == FILTER_SHUFFLE:
+                blob = unshuffle_bytes(
+                    blob, vals[0] if vals else self.dtype.itemsize
+                )
             else:
-                raise ValueError(f"minihdf5: unsupported filter id {fid}")
+                raise ValueError(
+                    f"minihdf5: unsupported filter id {fid} "
+                    f"(supported: {FILTER_DEFLATE}=deflate, "
+                    f"{FILTER_SHUFFLE}=shuffle)"
+                )
         return np.frombuffer(blob, dtype=self.dtype).reshape(self._chunks)
 
     def __getitem__(self, sl):
@@ -455,8 +505,11 @@ class ChunkedDataset:
                 raise TypeError(
                     "minihdf5: only step-1 slice indexing on chunked data"
                 )
-            bounds.append((min(s.start or 0, dim), min(
-                dim if s.stop is None else s.stop, dim)))
+            # slice.indices normalizes negative bounds and clamps to the
+            # extent — numpy/h5py semantics (ds[-5:] is the last 5 rows,
+            # not a fill-padded dim+5 result)
+            b0, b1, _ = s.indices(dim)
+            bounds.append((b0, b1))
         out = np.zeros(
             tuple(max(0, b1 - b0) for b0, b1 in bounds), dtype=self.dtype
         )

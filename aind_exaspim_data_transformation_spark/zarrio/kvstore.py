@@ -147,17 +147,29 @@ def _client(scheme: str, root: str):
                 # below is the single, deterministic retry policy.
                 from botocore.config import Config
 
-                client = boto3.client(
-                    "s3",
+                kwargs: dict = dict(
                     endpoint_url=endpoint,
-                    aws_access_key_id="local",
-                    aws_secret_access_key="local",
-                    region_name="us-east-1",
                     config=Config(
                         retries={"max_attempts": 1},
                         request_checksum_calculation="when_required",
                     ),
                 )
+                if not (
+                    os.environ.get("AWS_ACCESS_KEY_ID")
+                    or os.environ.get("AWS_PROFILE")
+                    or os.environ.get("AWS_SHARED_CREDENTIALS_FILE")
+                ):
+                    # No real credentials configured: inject dummies so
+                    # the auth-less in-process test server works. With
+                    # credentials present (MinIO/LocalStack), defer to
+                    # boto3's default chain — only the endpoint and
+                    # retry policy are overridden.
+                    kwargs.update(
+                        aws_access_key_id="local",
+                        aws_secret_access_key="local",
+                        region_name="us-east-1",
+                    )
+                client = boto3.client("s3", **kwargs)
             else:  # pragma: no cover - needs credentials/network
                 client = boto3.client("s3")
         _CLIENT_CACHE.clear()  # drop pre-fork clients

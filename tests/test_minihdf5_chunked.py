@@ -73,6 +73,27 @@ def test_chunked_hyperslabs_match_numpy(tmp_path):
     f.close()
 
 
+def test_chunked_negative_slices_match_numpy(tmp_path):
+    """Negative slice bounds normalize per slice.indices — numpy/h5py
+    semantics, same as the contiguous memmap path (ds[-5:] is the tail,
+    never a fill-padded over-long result)."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 255, (20, 17, 23), np.uint8)
+    f = _roundtrip(
+        tmp_path, arr, {"chunks": (6, 5, 9), "compression": "gzip"}
+    )
+    ds = f["d"]
+    for sl in [
+        (slice(-5, None), slice(None), slice(None)),
+        (slice(None, -3), slice(-10, -2), slice(None)),
+        (slice(-100, None), slice(None, 100), slice(-23, 23)),
+        (slice(-1, None), slice(-1, None), slice(-1, None)),
+        (slice(5, -5), slice(-17, 17), slice(-4, -8)),  # empty last axis
+    ]:
+        np.testing.assert_array_equal(ds[sl], arr[sl])
+    f.close()
+
+
 def test_multilevel_chunk_btree(tmp_path):
     """>64 chunks forces a second B-tree level (the writer splits leaves
     at libhdf5's default fan-out); the walk must recurse."""
@@ -143,3 +164,101 @@ def test_h5py_cross_check_chunked(tmp_path):
         np.testing.assert_array_equal(f["d"][:], arr)
         assert f["d"].chunks == (8, 8, 8)
         assert f["d"].compression == "gzip"
+
+
+def test_shuffle_bytes_roundtrip_and_layout():
+    """shuffle = byte de-interleave: byte k of every element becomes
+    contiguous; inverse restores; odd tail bytes pass through."""
+    raw = bytes([0x11, 0xAA, 0x22, 0xBB, 0x33, 0xCC])
+    shuf = minihdf5.shuffle_bytes(raw, 2)
+    assert shuf == bytes([0x11, 0x22, 0x33, 0xAA, 0xBB, 0xCC])
+    assert minihdf5.unshuffle_bytes(shuf, 2) == raw
+    # non-multiple tail survives
+    raw7 = raw + b"\x7f"
+    assert minihdf5.unshuffle_bytes(minihdf5.shuffle_bytes(raw7, 2), 2) == raw7
+    # itemsize 1 is the identity
+    assert minihdf5.shuffle_bytes(raw, 1) == raw
+
+
+@pytest.mark.parametrize("compression", ["gzip", None])
+def test_chunked_shuffle_roundtrip(tmp_path, compression):
+    """shuffle(+deflate) chunks decode in reverse pipeline order —
+    the pairing real microscopy HDF5 uses (reference reads it via h5py
+    transparently, utils/io_utils.py:122-151)."""
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 65535, (13, 10, 7), np.uint16)
+    f = _roundtrip(
+        tmp_path,
+        arr,
+        {"chunks": (8, 8, 8), "compression": compression, "shuffle": True},
+    )
+    ds = f["d"]
+    assert [fid for fid, _, _ in ds._filters] == (
+        [minihdf5.FILTER_SHUFFLE, minihdf5.FILTER_DEFLATE]
+        if compression
+        else [minihdf5.FILTER_SHUFFLE]
+    )
+    np.testing.assert_array_equal(ds[:, :, :], arr)
+    np.testing.assert_array_equal(ds[3:11, 2:10, 1:7], arr[3:11, 2:10, 1:7])
+    f.close()
+
+
+def test_shuffle_helps_compression(tmp_path):
+    """Sanity: on smooth uint16 data, shuffle+gzip beats plain gzip
+    (the reason the filter pairing is the field default)."""
+    arr = (np.arange(16 * 16 * 16, dtype=np.uint16) // 7).reshape(16, 16, 16)
+    plain = str(tmp_path / "p.h5")
+    shuf = str(tmp_path / "s.h5")
+    minihdf5.write_file(
+        plain, {"d": (arr, {"chunks": (16, 16, 16), "compression": "gzip"})}
+    )
+    minihdf5.write_file(
+        shuf,
+        {
+            "d": (
+                arr,
+                {
+                    "chunks": (16, 16, 16),
+                    "compression": "gzip",
+                    "shuffle": True,
+                },
+            )
+        },
+    )
+    import os
+
+    assert os.path.getsize(shuf) < os.path.getsize(plain)
+
+
+def test_unsupported_filter_error_names_id(tmp_path):
+    """Anything beyond deflate/shuffle raises with the filter id and
+    the supported set in the message."""
+    rng = np.random.default_rng(22)
+    arr = rng.integers(0, 65535, (8, 8, 8), np.uint16)
+    f = _roundtrip(tmp_path, arr, {"chunks": (8, 8, 8)})
+    ds = f["d"]
+    ds._filters = [(3, 0, ())]  # fletcher32
+    with pytest.raises(ValueError, match="unsupported filter id 3"):
+        ds[:, :, :]
+    f.close()
+
+
+def test_h5py_cross_check_shuffle(tmp_path):
+    """h5py (when present) must read shuffle+gzip files back exactly and
+    report the shuffle property — the pipeline message is conformant."""
+    h5py = pytest.importorskip("h5py")
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 65535, (13, 10, 7), np.uint16)
+    path = str(tmp_path / "shuf.h5")
+    minihdf5.write_file(
+        path,
+        {
+            "d": (
+                arr,
+                {"chunks": (8, 8, 8), "compression": "gzip", "shuffle": True},
+            )
+        },
+    )
+    with h5py.File(path, "r") as f:
+        np.testing.assert_array_equal(f["d"][:], arr)
+        assert f["d"].shuffle is True

@@ -138,3 +138,24 @@ def test_shard_write_read_through_endpoint(s3_server):
         spec,
     )
     np.testing.assert_array_equal(got, arr)
+
+
+def test_env_credentials_win_over_dummies(s3_server, monkeypatch):
+    """With real credentials in the environment (MinIO/LocalStack), the
+    endpoint-override client must use boto3's default chain, not the
+    hardcoded 'local' dummies; without them the dummies keep the
+    auth-less test server working."""
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIAREALKEY")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "realsecret")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-west-2")
+    kvstore._CLIENT_CACHE.clear()
+    client = kvstore._client("s3", "bench-bucket")
+    creds = client._request_signer._credentials
+    assert creds.access_key == "AKIAREALKEY"
+
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID")
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY")
+    kvstore._CLIENT_CACHE.clear()
+    client = kvstore._client("s3", "bench-bucket")
+    assert client._request_signer._credentials.access_key == "local"
+    kvstore._CLIENT_CACHE.clear()
