@@ -43,6 +43,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # NTZ-physical micros timestamps read as TIMESTAMP at the
+            # scan — no per-row cast (see sources.tables.load_table).
+            spark.conf.set(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+            )
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

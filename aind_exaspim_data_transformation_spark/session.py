@@ -43,6 +43,10 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS), which the parquet reader
         # rejects unless read as raw longs (load_table truncates to micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS) isAdjustedToUTC=false columns read as TIMESTAMP
+        # directly at the scan (value-preserving under the UTC session TZ)
+        # instead of TIMESTAMP_NTZ + a per-row cast projection.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Shuffle sizing: local default = core count; AQE coalesces down.
         .config("spark.sql.shuffle.partitions", str(cpus))
         # Broadcast threshold: dims like region/nation/supplier must

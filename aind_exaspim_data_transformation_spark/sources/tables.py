@@ -34,18 +34,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.parquet``'s ``ts`` column has shipped in two physical forms:
     TIMESTAMP(NANOS), which the Spark parquet reader rejects (read nanos
-    as long and truncate to micros — identical to DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP cast semantics; the ``nanosAsLong`` conf
-    itself is session-level state, set once in ``session.get_spark`` and
-    re-asserted by the registry wrapper), and TIMESTAMP(MICROS) with
-    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Queries
-    use TIMESTAMP-only functions (``unix_micros``, ``window``), so
-    normalize both forms to TIMESTAMP — value-preserving because the
-    session timezone is forced to UTC.
+    as long via the ``nanosAsLong`` conf and truncate to micros —
+    identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP cast semantics), and
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false. The micros form is
+    normalized AT THE SCAN: ``spark.sql.parquet.inferTimestampNTZ.enabled
+    =false`` makes the vectorized reader surface it as TIMESTAMP directly
+    (value-preserving because the session timezone is forced to UTC), so
+    no per-row cast projection sits between the scan and the query. Both
+    confs are session-level state, set in ``session.get_spark`` and
+    re-asserted here and by the registry wrapper so bare sessions work.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -54,6 +56,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         elif ts_type == "timestamp_ntz":
+            # Fallback for sessions where the conf couldn't apply (e.g.
+            # a cached self-describing scan) — projection-level cast.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -53,6 +53,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    # Scan-level normalization (same as the batch twin): NTZ-physical
+    # micros surface as TIMESTAMP, so the stream declares TimestampType
+    # and needs no per-row cast.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, "events.parquet")
     ts_batch = dict(spark.read.parquet(path).dtypes).get("ts")
     # The file stream source requires a directory; glob-filter to events.

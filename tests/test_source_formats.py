@@ -54,3 +54,52 @@ def test_binary_file_scan(spark, tmp_path):
     for name, data in payloads.items():
         assert rows[name]["length"] == len(data)
         assert bytes(rows[name]["content"]) == data
+
+
+def test_events_ts_normalizes_across_encodings(spark, tmp_path):
+    """events.parquet `ts` has shipped as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) isAdjustedToUTC=false. load_table must surface
+    TIMESTAMP with identical values for both — the micros form at the
+    SCAN (inferTimestampNTZ=false, no projection), the nanos form via
+    the nanosAsLong long read + truncating division."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aind_exaspim_data_transformation_spark.sources.tables import (
+        load_table,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    stamps = [base + datetime.timedelta(seconds=i) for i in range(10)]
+    cols = {
+        "user_id": pa.array(range(10), pa.int64()),
+        "event_type": pa.array(["click"] * 10),
+        "value": pa.array([float(i) for i in range(10)]),
+        "props": pa.array(["{}"] * 10),
+    }
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    for d, unit in [(nanos_dir, "ns"), (micros_dir, "us")]:
+        d.mkdir()
+        table = pa.table(
+            {"ts": pa.array(stamps, pa.timestamp(unit)), **cols}
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for label, d in [("nanos", nanos_dir), ("micros", micros_dir)]:
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", label
+        out[label] = sorted(
+            r["s"]
+            for r in df.select(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s")
+            ).collect()
+        )
+    assert out["nanos"] == out["micros"]
+    assert out["micros"][0] == "2024-01-01 12:00:00.123456"
