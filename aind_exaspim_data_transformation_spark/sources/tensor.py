@@ -202,6 +202,8 @@ def write_imaris_file(
     channel: int = 0,
     chunks: tuple[int, int, int] | None = None,
     compression: str | None = None,
+    compression_level: int = 4,
+    shuffle: bool = False,
 ) -> str:
     """Write a minimal Imaris-layout HDF5 file (test fixture twin of the
     reference's fixture writer, tests/test_imaris_job.py).
@@ -225,6 +227,8 @@ def write_imaris_file(
             {
                 "chunks": tuple(min(c, s) for c, s in zip(chunks, arr.shape)),
                 "compression": compression,
+                "compression_level": compression_level,
+                "shuffle": shuffle,
             },
         )
 

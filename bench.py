@@ -123,6 +123,40 @@ def main() -> None:
     ]
     conversion_gbps = round(result["stages"][0]["bytes_read"] / 1e9 / dt, 4)
 
+    # Computed-pyramid throughput (A1 kernel path, verdict r4 item 5):
+    # level 0 copied + levels 1-2 mean-downsampled FROM THE STORE
+    # (read-back + block-reduce + write). GB/s is level-0 source bytes
+    # over the whole 3-level wall time — the end-to-end number a user
+    # sees when the source has no pyramid to translate.
+    pyr_runs: list[float] = []
+    for _ in range(3):
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.monotonic()
+            pyr = convert_to_zarr(
+                spark,
+                ConvertJobSettings(
+                    input_source="synth://1024,1024,1024,1",
+                    output_location=os.path.join(tmp, "pyr.zarr"),
+                    chunk_shape=(64, 64, 64),
+                    shard_shape=(128, 128, 128),
+                    translate_pyramid=False,
+                    downsample_levels=3,
+                    downsample_mode="mean",
+                    codec="zstd",
+                    codec_level=3,
+                ),
+            )
+            pyr_runs.append(time.monotonic() - t0)
+    pdt = statistics.median(pyr_runs)
+    timings["pyramid_compute_2GB"] = round(pdt, 3)
+    spread["pyramid_compute_2GB"] = [
+        round(min(pyr_runs), 3),
+        round(max(pyr_runs), 3),
+    ]
+    pyramid_compute_gbps = round(
+        pyr["stages"][0]["bytes_read"] / 1e9 / pdt, 4
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -134,6 +168,7 @@ def main() -> None:
                 "spread": spread,
                 "sf": sf,
                 "conversion_gbps": conversion_gbps,
+                "pyramid_compute_gbps": pyramid_compute_gbps,
                 "cold_first_run_total_sec": round(cold_total, 3),
             }
         )

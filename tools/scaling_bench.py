@@ -9,11 +9,18 @@ in the reference).
 without the inner transpose codec — showing throughput holds as the
 working set grows far past any single run's warm state.
 
+``--ims`` mode: SOURCE-decode sweep at local[32] — a >=1 GB .ims in
+three layouts (contiguous; chunked+gzip, the production Imaris layout
+whose chunks decode in minihdf5's per-chunk Python loop; and
+chunked+shuffle+gzip) through the identical superchunk pipeline, so the
+chunked-decode GB/s stands next to the contiguous memmap number.
+
 Each configuration runs in a FRESH SparkSession (spark.master cannot
 change within one JVM), so run this as a standalone script:
 
     python tools/scaling_bench.py            # core sweep
     python tools/scaling_bench.py --sizes    # size/codec sweep
+    python tools/scaling_bench.py --ims      # chunked-source decode sweep
 """
 
 from __future__ import annotations
@@ -78,7 +85,91 @@ with tempfile.TemporaryDirectory() as tmp:
     raise RuntimeError(out.stderr[-2000:])
 
 
+def run_ims(path: str, label: dict) -> dict:
+    """Convert an on-disk .ims in a fresh JVM; GB/s over source bytes."""
+    import subprocess
+
+    code = f"""
+import sys, time, tempfile, os, json
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from aind_exaspim_data_transformation_spark.session import get_spark
+from aind_exaspim_data_transformation_spark.config import ConvertJobSettings
+from aind_exaspim_data_transformation_spark.zarrio.pipeline import convert_to_zarr
+spark = get_spark('ims-bench', cpus=32)
+spark.sparkContext.setLogLevel('ERROR')
+with tempfile.TemporaryDirectory() as tmp:
+    convert_to_zarr(spark, ConvertJobSettings(
+        input_source='synth://64,64,64,1',
+        output_location=os.path.join(tmp, 'w.zarr'),
+        chunk_shape=(32,32,32), shard_shape=(32,32,32)))
+with tempfile.TemporaryDirectory() as tmp:
+    t0 = time.monotonic()
+    r = convert_to_zarr(spark, ConvertJobSettings(
+        input_source={path!r},
+        output_location=os.path.join(tmp, 'b.zarr'),
+        chunk_shape=(64,64,64), shard_shape=(128,128,128),
+        translate_pyramid=True, codec='zstd', codec_level=3))
+    dt = time.monotonic() - t0
+    br = r['stages'][0]['bytes_read']
+    print('RESULT ' + json.dumps(dict(seconds=round(dt,2),
+        gb=round(br/1e9,3), gbps=round(br/1e9/dt,4))))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            result = json.loads(line.removeprefix("RESULT "))
+            result.update(label)
+            return result
+    raise RuntimeError(out.stderr[-2000:])
+
+
+def ims_sweep() -> None:
+    """>=1 GB .ims source-layout sweep (verdict r3 item 3)."""
+    import numpy as np
+
+    from aind_exaspim_data_transformation_spark.sources.tensor import (
+        write_imaris_file,
+    )
+
+    shape = (1024, 768, 768)  # 1.21 GB uint16
+    rng = np.random.default_rng(99)
+    # 12-bit detector-depth noise: ~chunk-level zlib ratio a real
+    # microscope volume sees (purely random 16-bit barely compresses)
+    arr = rng.integers(0, 4096, shape, dtype=np.uint16)
+    workdir = tempfile.mkdtemp(prefix="ims_bench_")
+    configs = [
+        ("contiguous", dict()),
+        ("chunked_gzip", dict(chunks=(64, 64, 64), compression="gzip",
+                              compression_level=1)),
+        ("chunked_shuffle_gzip", dict(chunks=(64, 64, 64),
+                                      compression="gzip",
+                                      compression_level=1, shuffle=True)),
+    ]
+    results = []
+    for name, opts in configs:
+        path = os.path.join(workdir, f"tile_000000_ch_488_{name}.ims")
+        t0 = time.monotonic()
+        write_imaris_file(path, [arr], **opts)
+        gen_sec = round(time.monotonic() - t0, 2)
+        size_gb = round(os.path.getsize(path) / 1e9, 3)
+        results.append(
+            run_ims(path, {"layout": name, "file_gb": size_gb,
+                           "gen_seconds": gen_sec})
+        )
+        os.remove(path)
+    os.rmdir(workdir)
+    print(json.dumps({
+        "workload": "1.21 GB uint16 .ims (3 layouts) -> zarr v3 zstd-3",
+        "results": results,
+    }))
+
+
 def main() -> None:
+    if "--ims" in sys.argv:
+        ims_sweep()
+        return
     if "--sizes" in sys.argv:
         # size/codec/transpose sweep at full cores; uint16 voxels
         shapes = {
