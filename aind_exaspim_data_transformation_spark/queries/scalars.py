@@ -133,7 +133,7 @@ SELECT l_orderkey, l_linenumber,
   ((CAST(l_quantity AS BIGINT) - 30) % 7 + 7) % 7 AS qty_pmod7,
   CAST(greatest(l_quantity, 25.0) AS DOUBLE) AS qty_hi,
   CAST(least(l_quantity, 25.0) AS DOUBLE) AS qty_lo,
-  sign(l_discount - 0.05) AS disc_sign
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
 FROM lineitem
 """,
 )
