@@ -55,16 +55,24 @@ def fmt_date(c: str | Column, alias: str) -> Column:
 
 
 # DuckDB-side fragments mirroring the helpers above.
+#
+# Decimal -> DOUBLE in the oracles always hops through VARCHAR
+# (CAST(CAST(x AS VARCHAR) AS DOUBLE)): DuckDB's native decimal->double
+# converts the scaled int128 and divides by 10^scale — two rounding steps
+# that drift one ulp from the correctly-rounded double once the scaled
+# integer exceeds 2^53 (first hit in practice: scale-6 charge sums at sf1).
+# The VARCHAR hop forces strtod's single correct rounding, which is what
+# Spark's Decimal.toDouble (BigDecimal.doubleValue) produces at any scale.
 SQL_DEC = "DECIMAL(12,2)"
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
+    return f"CAST(CAST(SUM(CAST({expr} AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*) AS {alias}"
+        f"CAST(CAST(SUM(CAST({expr} AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*) AS {alias}"
     )
 
 

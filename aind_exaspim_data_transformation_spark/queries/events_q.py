@@ -29,7 +29,7 @@ SELECT
                           * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -65,7 +65,7 @@ SELECT
     CAST(floor(epoch(ts) / 300) * 300 - k * 300 AS BIGINT) * 1000000),
     '%Y-%m-%d %H:%M:%S') AS wstart,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
 GROUP BY 1
 """,
@@ -104,7 +104,7 @@ islands AS (
 SELECT user_id,
   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM islands
 GROUP BY user_id, session_id
 """,
@@ -193,7 +193,7 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
   event_type,
   COUNT(*) AS n,
   COUNT(DISTINCT user_id) AS n_users,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """,

@@ -127,7 +127,8 @@ def q_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for these families, so the oracle pins GOLDEN CHECKSUMS instead: one row
 # of whole-table aggregates (bit_xor / sum of the hashes), with the
 # expected value selected by a CASE on COUNT(*) so the same oracle is
-# exact at sf0.001 / sf0.01 / sf0.1. The crc32 goldens are independently
+# exact at sf0.001 / sf0.01 / sf0.1 plus the locally generated sf1
+# (tools/gen_testdata.py, seed 7). The crc32 goldens are independently
 # verified against zlib.crc32 in tests/test_engine_functions.py; the
 # xxhash64/murmur3 goldens pin Spark's seed-42 implementations against
 # regression. Used by the salting helpers and shard-content fingerprints.
@@ -139,15 +140,18 @@ WITH n AS (SELECT COUNT(*) AS n_rows FROM part)
 SELECT CAST(n_rows AS BIGINT) AS n_rows,
   CAST(CASE n_rows WHEN 200 THEN -5717840153824412150
                    WHEN 2000 THEN 7205360855703747144
-                   WHEN 20000 THEN 2661647849670910908 END AS BIGINT)
+                   WHEN 20000 THEN 2661647849670910908
+                   WHEN 200000 THEN 1430004874851381006 END AS BIGINT)
     AS xxh64_name_xor,
   CAST(CASE n_rows WHEN 200 THEN 475215289216
                    WHEN 2000 THEN 4702511336529
-                   WHEN 20000 THEN 47549258395965 END AS BIGINT)
+                   WHEN 20000 THEN 47549258395965
+                   WHEN 200000 THEN 474489035036569 END AS BIGINT)
     AS crc32_brand_sum,
   CAST(CASE n_rows WHEN 200 THEN -1252465049
                    WHEN 2000 THEN 1373160254
-                   WHEN 20000 THEN -1115820817 END AS BIGINT)
+                   WHEN 20000 THEN -1115820817
+                   WHEN 200000 THEN 316269552 END AS BIGINT)
     AS murmur3_compound_xor
 FROM n
 """,

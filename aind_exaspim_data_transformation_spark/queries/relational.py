@@ -42,8 +42,8 @@ from .registry import query
 SELECT l_returnflag, l_linestatus,
   {sql_dsum("l_quantity", "sum_qty")},
   {sql_dsum("l_extendedprice", "sum_base_price")},
-  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM({SQL_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
   {sql_davg("l_quantity", "avg_qty")},
   {sql_davg("l_extendedprice", "avg_price")},
   {sql_davg("l_discount", "avg_disc")},
@@ -76,7 +76,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle=f"""
 SELECT o_orderkey,
-  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
   o_orderpriority
 FROM customer
@@ -155,7 +155,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q05_local_supplier_volume",
     oracle=f"""
-SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+SELECT n_name, CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -201,8 +201,8 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q06_forecast_revenue",
     oracle=f"""
-SELECT CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})
-                 * CAST(l_discount AS {SQL_DEC})) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})
+                 * CAST(l_discount AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -236,7 +236,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
 SELECT c_custkey, c_name,
-  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
   n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -280,9 +280,9 @@ WITH s AS (
     COUNT(DISTINCT l_partkey) AS n_parts,
     CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
     CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_sq
   FROM lineitem)
 SELECT n_rows, n_orders, n_parts, min_price, max_price,
   sum_price / n_rows AS avg_price,
@@ -328,14 +328,14 @@ def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT COUNT(*) AS n,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem)
 SELECT n,
   round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
@@ -407,7 +407,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COALESCE(r_name, 'ALL') AS region_name,
        COALESCE(n_name, 'ALL') AS nation_name,
        COUNT(c_custkey) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_balance
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -445,7 +445,7 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -474,7 +474,8 @@ _GROUPING_SETS_SQL = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        COALESCE(o_orderpriority, 'ALL') AS orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING)
+            AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                         (o_orderstatus, o_orderpriority))
@@ -497,12 +498,12 @@ SELECT c_mktsegment,
   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P,
-  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-       FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS total_F,
-  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-       FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS total_O,
-  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-       FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS total_P
+  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       FILTER (WHERE o_orderstatus = 'F'), 0) AS VARCHAR) AS DOUBLE) AS total_F,
+  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       FILTER (WHERE o_orderstatus = 'O'), 0) AS VARCHAR) AS DOUBLE) AS total_O,
+  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       FILTER (WHERE o_orderstatus = 'P'), 0) AS VARCHAR) AS DOUBLE) AS total_P
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """,
@@ -601,7 +602,7 @@ def q_anti_customers_without_orders(
 WITH bands(band, lo, hi) AS (
   VALUES ('low', 0.0, 905.0), ('mid', 905.0, 912.0), ('high', 912.0, 1000.0))
 SELECT band, COUNT(*) AS n_parts,
-  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band
 """,
@@ -653,7 +654,8 @@ def q_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey, p_name,
   COUNT(l_orderkey) AS n_uses,
-  CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DOUBLE) AS qty
+  CAST(CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0)
+       AS VARCHAR) AS DOUBLE) AS qty
 FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
 GROUP BY p_partkey, p_name
 """,

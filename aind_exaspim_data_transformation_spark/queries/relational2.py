@@ -55,10 +55,10 @@ WITH per_type AS (
   SELECT p_type, SUM({SQL_DISC_PRICE}) AS rev
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_type)
-SELECT p_type, CAST(rev AS DOUBLE) AS revenue
+SELECT p_type, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue
 FROM per_type
-WHERE CAST(rev AS DOUBLE) >
-  (SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) / 50.0
+WHERE CAST(CAST(rev AS VARCHAR) AS DOUBLE) >
+  (SELECT CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) / 50.0
    FROM lineitem JOIN part ON l_partkey = p_partkey)
 """,
 )
@@ -113,10 +113,10 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_promo_revenue_share",
     oracle=f"""
 SELECT
-  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+  100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                         THEN {SQL_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4))
-                   END) AS DOUBLE)
-        / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_pct,
+                   END) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS promo_pct,
   COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
@@ -146,7 +146,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_large_volume_orders",
     oracle=f"""
 SELECT c_custkey, o_orderkey,
-  CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS DOUBLE) AS total_qty
+  CAST(CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -182,7 +182,7 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_disjunctive_predicates",
     oracle=f"""
-SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
@@ -223,10 +223,10 @@ def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_prospect_customers",
     oracle=f"""
 SELECT c_nationkey, COUNT(*) AS n_prospects,
-  CAST(SUM(CAST(c_acctbal AS {SQL_DEC})) AS DOUBLE) AS total_bal
+  CAST(CAST(SUM(CAST(c_acctbal AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM customer c
 WHERE c_acctbal > (
-    SELECT CAST(SUM(CAST(c_acctbal AS {SQL_DEC})) AS DOUBLE) / COUNT(*)
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*)
     FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_totalprice > 450000)
@@ -266,7 +266,7 @@ def q_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
   year(o_orderdate) AS yr,
-  CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({SQL_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -41,10 +41,10 @@ WITH all_nations AS (
   JOIN nation sn ON s_nationkey = sn.n_nationkey
   WHERE r_name = 'ASIA')
 SELECT yr,
-  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-    / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
-  CAST(SUM(volume) AS DOUBLE) AS total_volume
+  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share,
+  CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_volume
 FROM all_nations
 GROUP BY yr
 """,
@@ -98,9 +98,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_nation_profit",
     oracle=f"""
 SELECT sn.n_name AS nation, year(o_orderdate) AS yr,
-  CAST(SUM({SQL_DISC_PRICE}
+  CAST(CAST(SUM({SQL_DISC_PRICE}
            - CAST(p_retailprice AS {SQL_DEC})
-             * CAST(l_quantity AS {SQL_DEC})) AS DOUBLE) AS profit
+             * CAST(l_quantity AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -189,7 +189,7 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
 """,
@@ -261,14 +261,14 @@ def q16_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle=f"""
-SELECT CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})) AS DOUBLE) / 7.0
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})) AS VARCHAR) AS DOUBLE) / 7.0
          AS avg_yearly,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
   AND l_quantity < (
-    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS DOUBLE)
+    SELECT 0.2 * (CAST(CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS VARCHAR) AS DOUBLE)
                   / COUNT(*))
     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
 """,

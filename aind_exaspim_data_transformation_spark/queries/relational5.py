@@ -112,10 +112,16 @@ a AS (
     CAST(SUM(y * y) AS BIGINT) AS syy
   FROM s GROUP BY l_returnflag),
 d AS (
+  -- products in DOUBLE, not BIGINT: n * sxx would overflow int64 around
+  -- sf30 (Spark wraps, DuckDB errors); the identical IEEE multiply /
+  -- subtract sequence on both engines stays bit-deterministic unbounded.
   SELECT l_returnflag, n, sx, sy,
-    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
-    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
-    CAST(n * syy - sy * sy AS DOUBLE) AS deny
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
   FROM a)
 SELECT l_returnflag, n AS n_rows,
   num / denx AS slope,
@@ -143,9 +149,12 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    num = (n * F.col("sxy") - sx * sy).cast("double")
-    denx = (n * F.col("sxx") - sx * sx).cast("double")
-    deny = (n * F.col("syy") - sy * sy).cast("double")
+    # Mirror the oracle: products in DOUBLE (int64 n * sxx overflows ~sf30);
+    # same IEEE op sequence on both engines -> bit-identical at any scale.
+    nd, sxd, syd = (c.cast("double") for c in (n, sx, sy))
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
     slope = num / denx
     r = num / F.sqrt(denx * deny)
     return a.select(

@@ -38,7 +38,7 @@ SELECT
                           * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,

@@ -11,6 +11,7 @@ Usage: python tools/parity.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import traceback
 
@@ -85,7 +86,10 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark("parity-check", cpus=8)
+    spark = get_spark(
+        "parity-check",
+        cpus=int(os.environ.get("SPARK_GRAFT_PARITY_CPUS", "8")),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     failed = []
