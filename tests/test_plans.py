@@ -87,3 +87,47 @@ def test_repartition_by_range_and_sort_within_partitions(spark):
     ).orderBy("p").collect()
     for a, b in zip(parts, parts[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_sort_merge_transition_parity(spark):
+    """At 100x the data, fact tables outgrow the broadcast threshold and
+    AQE plans sort-merge joins instead. Simulate that regime (thresholds
+    -1) and pin BOTH halves of the contract: un-hinted fact joins flip
+    to SortMergeJoin while explicitly-hinted dimensions stay broadcast,
+    and the results still hash-match the DuckDB oracle — correctness is
+    join-strategy-independent."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from parity import compare
+
+    from aind_exaspim_data_transformation_spark.queries import ORACLES
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for name in ("q05_local_supplier_volume", "q10_returned_items"):
+            df = QUERIES[name](spark, SF_SMALL)
+            df.collect()  # AQE-final plan
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            assert "SortMergeJoin" in plan, name
+            assert "BroadcastHashJoin" in plan, name  # hinted dims hold
+            ok, msg = compare(df, ORACLES[name], SF_SMALL)
+            assert ok, f"{name} under SMJ: {msg}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -79,7 +79,9 @@ def main() -> None:
     for name in names:
         df = QUERIES[name](spark, sf_dir)
         t0 = time.time()
-        n = df.count()  # run to completion -> AQE final plan
+        # collect() (not count()) so the action runs THIS DataFrame's
+        # QueryExecution and the inspected plan is AQE-final.
+        n = len(df.collect())
         dt = time.time() - t0
         plan = df._jdf.queryExecution().explainString(mode)
         print(f"{name}: rows={n} sec={dt:.2f} {summarize(plan)}")
