@@ -40,12 +40,15 @@ from .codecs import zlib_crc32
 from .format import (
     ShardSpec,
     clamp_shard_and_chunk,
+    decode_shard,
     encode_shard,
     read_array_region,
+    shard_path,
     write_array_metadata,
     write_group_metadata,
     write_shard_file,
 )
+from .kvstore import kv_get
 from .metadata import multiscales_metadata
 
 STATS_SCHEMA = (
@@ -198,6 +201,67 @@ def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec])
     return writer
 
 
+def _read_reduced_region(
+    store: str,
+    parent: int,
+    region3: tuple[slice, slice, slice],
+    spec: ShardSpec,
+    factor: tuple[int, int, int],
+    mode: str,
+) -> np.ndarray:
+    """Reduce-then-assemble read of a parent region.
+
+    When the region is parent-shard-aligned and the factor divides the
+    parent shard shape (the aligned case every power-of-two pyramid
+    hits), each parent shard is decoded and reduced independently and
+    only REDUCED voxels reach the assembly buffer — no full-resolution
+    bounding-box array exists, halving the memory traffic of
+    assemble-then-reduce. The downsample stage is memory-bandwidth-bound
+    under full-core concurrency, so saved traffic is saved wall time.
+    Falls back to read_array_region + one big reduce otherwise.
+    """
+    dims = spec.shape[2:]
+    pshard = spec.shard_shape[2:]
+    starts = [s.start or 0 for s in region3]
+    stops = [min(s.stop, d) for s, d in zip(region3, dims)]
+    aligned = all(st % ps == 0 for st, ps in zip(starts, pshard)) and all(
+        ps % f == 0 for ps, f in zip(pshard, factor)
+    )
+    if not aligned:
+        full = read_array_region(
+            store, parent, (slice(0, 1), slice(0, 1), *region3), spec
+        )[0, 0]
+        return downsample_block(full, factor, mode)
+
+    out_shape = downsampled_shape(
+        tuple(e - s for s, e in zip(starts, stops)), factor
+    )
+    out = np.full(out_shape, spec.fill_value, dtype=spec.np_dtype)
+    lo = [s // ps for s, ps in zip(starts, pshard)]
+    hi = [(e - 1) // ps for e, ps in zip(stops, pshard)]
+    for iz in range(lo[0], hi[0] + 1):
+        for iy in range(lo[1], hi[1] + 1):
+            for ix in range(lo[2], hi[2] + 1):
+                blob = kv_get(shard_path(store, parent, (0, 0, iz, iy, ix)))
+                if blob is None:
+                    continue  # missing shard == fill, already in `out`
+                shard = decode_shard(blob, spec)[0, 0]
+                s0 = [i * ps for i, ps in zip((iz, iy, ix), pshard)]
+                valid = [
+                    min(ps, e - a) for ps, e, a in zip(pshard, stops, s0)
+                ]
+                piece = downsample_block(
+                    shard[: valid[0], : valid[1], : valid[2]], factor, mode
+                )
+                o0 = [(a - s) // f for a, s, f in zip(s0, starts, factor)]
+                out[
+                    o0[0] : o0[0] + piece.shape[0],
+                    o0[1] : o0[1] + piece.shape[1],
+                    o0[2] : o0[2] + piece.shape[2],
+                ] = piece
+    return out
+
+
 def _make_downsample_writer(
     store: str,
     specs: dict[int, ShardSpec],
@@ -217,17 +281,23 @@ def _make_downsample_writer(
                 t0 = time.monotonic()
                 lvl, parent = row.level, row.level - 1
                 pz, py, px = parent_shapes[parent]
-                region = (
-                    slice(0, 1),
-                    slice(0, 1),
+                region3 = (
                     slice(row.z0 * factor[0], min(row.z1 * factor[0], pz)),
                     slice(row.y0 * factor[1], min(row.y1 * factor[1], py)),
                     slice(row.x0 * factor[2], min(row.x1 * factor[2], px)),
                 )
-                parent_block = read_array_region(
-                    store, parent, region, specs[parent]
-                )[0, 0]
-                block = downsample_block(parent_block, factor, mode)
+                block = _read_reduced_region(
+                    store, parent, region3, specs[parent], factor, mode
+                )
+                parent_nbytes = (
+                    int(
+                        np.prod(
+                            [s.stop - s.start for s in region3],
+                            dtype=np.int64,
+                        )
+                    )
+                    * block.dtype.itemsize
+                )
                 spec = specs[lvl]
                 blob = encode_shard(_pad_to_shard(block, spec), spec)
                 write_shard_file(
@@ -239,7 +309,7 @@ def _make_downsample_writer(
                         row.iz,
                         row.iy,
                         row.ix,
-                        parent_block.nbytes,
+                        parent_nbytes,
                         len(blob),
                         time.monotonic() - t0,
                         zlib_crc32(np.ascontiguousarray(block).tobytes()),
