@@ -337,3 +337,61 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.size(F.split("text", " "))).alias("total_words"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag documents whose word n-grams overlap a
+# (small, broadcast) benchmark/eval shingle set — the standard guard
+# against eval-set leakage in a training corpus. The shingle expansion is
+# map-side (transform over a sequence — no explode, no shuffle) and the
+# benchmark membership test is an array intersection against a broadcast
+# literal, so at 100 TB this is a single pass over the corpus with no
+# join. n=2 here because the synthetic vocabulary is 30 words (a 5-gram
+# would never collide); the operator shape is n-independent.
+# --------------------------------------------------------------------------
+_BENCHMARK_SHINGLES = [
+    "batch part",
+    "spark line",
+    "column order",
+    "small sort",
+    "fast value",
+    "scan hash",
+    "slow group",
+    "agg filter",
+]
+
+
+@query(
+    "q_text_decontaminate",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    list_transform(
+      range(1, greatest(len(string_split(text, ' ')), 1)),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+    ) AS shingles
+  FROM documents)
+SELECT doc_id, lang,
+  CAST(len(list_intersect(shingles,
+    {_BENCHMARK_SHINGLES!r})) AS BIGINT) AS n_matched,
+  len(list_intersect(shingles,
+    {_BENCHMARK_SHINGLES!r})) > 0 AS contaminated
+FROM s
+""",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = F.array(*[F.lit(s) for s in _BENCHMARK_SHINGLES])
+    words = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+        " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+        "                element_at(split(text, ' '), i + 1)))"
+    )
+    matched = F.array_intersect(shingles, bench)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(matched).cast("long").alias("n_matched"),
+        (F.size(matched) > 0).alias("contaminated"),
+    )
