@@ -432,3 +432,103 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.10)
         .select("doc_a", "doc_b", F.round(jac, 8).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# LSH pairs with a degenerate-bucket cap: production dedup pipelines drop
+# band buckets larger than a threshold before the self-join ("stopword
+# shingle" guard) — a bucket of B members emits B(B-1)/2 candidates, so
+# one hot bucket can dominate the whole job. The cap bounds per-bucket
+# fan-out at K(K-1)/2 regardless of corpus size, which is what makes the
+# self-join's worst case linear in the number of buckets at 100 TB. The
+# bucket count is a window over the SAME key the join shuffles on, so the
+# guard adds no extra exchange on either side.
+# --------------------------------------------------------------------------
+MAX_BUCKET = 20  # band buckets above this are degenerate, skip them
+
+
+def _lsh_pairs_capped_sql() -> str:
+    sig_cte = _minhash_sig_sql().strip()
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(concat(sig_{2 * b}, sig_{2 * b + 1})) AS band_key FROM sigs"
+        for b in range(N_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH sigs AS ({sig_cte}),
+bands AS ({band_selects}),
+kept AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz
+    FROM bands)
+  WHERE bsz <= {MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM kept x JOIN kept y
+    ON x.band = y.band AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+  CAST(({est}) AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM cand
+JOIN sigs a ON cand.doc_a = a.doc_id
+JOIN sigs b ON cand.doc_b = b.doc_id
+WHERE ({est}) >= {N_HASHES // 2}
+"""
+
+
+@query("q_minhash_lsh_pairs_capped", oracle=_lsh_pairs_capped_sql())
+def q_minhash_lsh_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sigs = _minhash_signatures(spark, sf_dir).cache()
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
+    band_keys = F.array(
+        *[
+            F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig"),
+        F.posexplode(band_keys).alias("band", "band_key"),
+    )
+    w = Window.partitionBy("band", "band_key")
+    kept = bands.withColumn("bsz", F.count(F.lit(1)).over(w)).where(
+        F.col("bsz") <= MAX_BUCKET
+    )
+    x = kept.alias("x")
+    y = kept.alias("y")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("x.sig"),
+            F.col("y.sig"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            matches.alias("m"),
+        )
+        .distinct()
+        .where(F.col("m") >= N_HASHES // 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("m").cast("double") / N_HASHES).alias("est_jaccard"),
+        )
+    )
