@@ -35,7 +35,12 @@ from .format import (
     write_shard_file,
 )
 from .metadata import multiscales_metadata
-from .pipeline import _level_specs, _pad_to_shard, iter_coalesced_reads
+from .pipeline import (
+    _level_specs,
+    _pad_to_shard,
+    _read_reduced_region,
+    iter_coalesced_reads,
+)
 
 TASK_SCHEMA = (
     "tile_path string, store string, level int, "
@@ -345,8 +350,7 @@ def _make_global_downsample_writer(
     region from each row's own store, block-reduces, writes the shard.
     Parent specs are read once per (store, level) per partition from the
     store's own zarr.json — no spec state shipped through the plan."""
-    from ..operators.downsample import downsample_block
-    from .format import read_array_metadata, read_array_region
+    from .format import read_array_metadata
 
     def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pspecs: dict[tuple[str, int], ShardSpec] = {}
@@ -361,9 +365,7 @@ def _make_global_downsample_writer(
                     pspec = pspecs[key] = read_array_metadata(
                         row.store, parent
                     )
-                region = (
-                    slice(0, 1),
-                    slice(0, 1),
+                region3 = (
                     slice(
                         row.z0 * factor[0],
                         min(row.z1 * factor[0], row.parent_z),
@@ -377,10 +379,20 @@ def _make_global_downsample_writer(
                         min(row.x1 * factor[2], row.parent_x),
                     ),
                 )
-                parent_block = read_array_region(
-                    row.store, parent, region, pspec
-                )[0, 0]
-                block = downsample_block(parent_block, factor, mode)
+                # Shard-local reduce-then-assemble (same fast path as the
+                # single-tile pipeline): only reduced voxels are buffered.
+                block = _read_reduced_region(
+                    row.store, parent, region3, pspec, factor, mode
+                )
+                parent_nbytes = (
+                    int(
+                        np.prod(
+                            [s.stop - s.start for s in region3],
+                            dtype=np.int64,
+                        )
+                    )
+                    * block.dtype.itemsize
+                )
                 spec = ShardSpec(
                     shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
                     shard_shape=(
@@ -405,7 +417,7 @@ def _make_global_downsample_writer(
                         row.iz,
                         row.iy,
                         row.ix,
-                        parent_block.nbytes,
+                        parent_nbytes,
                         len(blob),
                         time.monotonic() - t0,
                         zlib_crc32(np.ascontiguousarray(block).tobytes()),
