@@ -25,6 +25,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     similarity_q,
     streaming_q,
     text_q,
+    text_q2,
     udf_q,
     windows,
 )
