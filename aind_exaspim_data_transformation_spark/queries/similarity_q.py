@@ -456,3 +456,153 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("vec_b"),
         F.round(cos, 6).alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public paper). M=8 subspaces x 8 dims, K=16
+# centroids per subspace taken deterministically from the first 16
+# vectors (one k-means init step; the iterative refinement would reuse
+# q_ann_ivf's assign/update shape). Encode = per-subspace argmin against
+# a broadcast codebook; search = asymmetric distance computation (ADC)
+# against a broadcast per-query lookup table.
+#
+# Scale notes: the PQ code is M small ints per vector (64 bits vs 2 Kb
+# raw) — the index that actually fits at 100 TB. Encoding is a map-side
+# broadcast join (N*M*K intermediate rows, no big-side shuffle) plus one
+# window on (vec_id, m); the ADC scan is map-only against a Q*M*K-row
+# broadcast LUT, and the final aggregation shuffles Q*N code rows.
+# Sub-distance folds are row-local sequential aggregates and the ADC
+# sum folds a sorted collect_list, so every double is bit-deterministic
+# regardless of partitioning.
+# --------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_D = 8  # dims per subspace (embedding dim 64 = _PQ_M * _PQ_D)
+_PQ_K = 16
+
+_PQ_SUB_D2 = (
+    "list_sum(list_transform(range(1, {d} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+).format(d=_PQ_D, a="{a}", b="{b}")
+
+_PQ_ORACLE = f"""
+WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cents AS (
+  SELECT e.vec_id AS k, ms.m,
+    list_transform(range(1, {_PQ_D} + 1),
+      i -> CAST(embedding[ms.m * {_PQ_D} + i] AS DOUBLE)) AS cvec
+  FROM embeddings e CROSS JOIN ms
+  WHERE e.vec_id < {_PQ_K}),
+dbsubs AS (
+  SELECT e.vec_id, ms.m,
+    list_transform(range(1, {_PQ_D} + 1),
+      i -> CAST(embedding[ms.m * {_PQ_D} + i] AS DOUBLE)) AS svec
+  FROM embeddings e CROSS JOIN ms),
+enc AS (
+  SELECT vec_id, m, k FROM (
+    SELECT s.vec_id, s.m, c.k,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+        ORDER BY {_PQ_SUB_D2.format(a="s.svec", b="c.cvec")}, c.k) AS rn
+    FROM dbsubs s JOIN cents c ON s.m = c.m)
+  WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS qid, c.m, c.k,
+    {_PQ_SUB_D2.format(a="q.qvec", b="c.cvec")} AS qd2
+  FROM (SELECT vec_id, ms.m,
+          list_transform(range(1, {_PQ_D} + 1),
+            i -> CAST(embedding[ms.m * {_PQ_D} + i] AS DOUBLE)) AS qvec
+        FROM embeddings CROSS JOIN ms WHERE vec_id < 3) q
+  JOIN cents c ON q.m = c.m),
+adc AS (
+  SELECT l.qid, e.vec_id AS cid,
+    round(list_sum(list(l.qd2 ORDER BY l.m)), 6) AS approx_d2
+  FROM enc e JOIN lut l ON e.m = l.m AND e.k = l.k
+  WHERE l.qid <> e.vec_id
+  GROUP BY l.qid, e.vec_id)
+SELECT qid, cid, approx_d2
+FROM (SELECT qid, cid, approx_d2,
+        ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY approx_d2, cid) AS rn
+      FROM adc)
+WHERE rn <= 3
+"""
+
+
+def _pq_subvectors(id_col: str, out: str) -> list:
+    """Explode an embedding row into (id, m, <out> double[8]) rows."""
+    sub = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: F.struct(
+                m.alias("m"),
+                F.transform(
+                    F.slice(F.col("embedding"), m * _PQ_D + 1, _PQ_D),
+                    lambda x: x.cast("double"),
+                ).alias(out),
+            ),
+        )
+    )
+    return [F.col(id_col), sub.alias("sub")]
+
+
+def _pq_sub_d2(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("q_ann_pq", oracle=_PQ_ORACLE)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def subs(df: DataFrame, id_in: str, id_out: str, out: str) -> DataFrame:
+        rows = df.select(*_pq_subvectors(id_in, out))
+        return rows.select(
+            F.col(id_in).alias(id_out),
+            F.col("sub.m").alias("m"),
+            F.col(f"sub.{out}").alias(out),
+        )
+
+    cents = subs(
+        emb.where(F.col("vec_id") < _PQ_K), "vec_id", "k", "cvec"
+    )
+    dbsubs = subs(emb, "vec_id", "vec_id", "svec")
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    enc = (
+        dbsubs.join(F.broadcast(cents), "m")
+        .select(
+            "vec_id", "m", "k", _pq_sub_d2("svec", "cvec").alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    qsubs = subs(emb.where(F.col("vec_id") < 3), "vec_id", "qid", "qvec")
+    lut = qsubs.join(F.broadcast(cents), "m").select(
+        "qid", "m", "k", _pq_sub_d2("qvec", "cvec").alias("qd2")
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "k"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("m"), F.col("qd2")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["qd2"],
+                ),
+                6,
+            ).alias("approx_d2")
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy("approx_d2", "cid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 3)
+        .select("qid", "cid", "approx_d2")
+    )
