@@ -19,6 +19,7 @@ from ..streaming.events import (
     stream_session_windows,
     stream_stateful_user_stats,
     stream_tumbling_counts,
+    stream_user_stats_tws,
 )
 from .registry import query
 
@@ -173,3 +174,48 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .withColumnRenamed("count", "n_unique")
     )
+
+
+# transformWithStateInPandas (the Spark 4.x arbitrary-state successor to
+# applyInPandasWithState) speaks a protobuf-based state-server protocol,
+# so the query registers only where google.protobuf is importable — this
+# container ships pyspark without it. The operator itself
+# (``streaming.events.stream_user_stats_tws``) and its batch-equivalence
+# test (``tests/test_streaming_tws.py``, importorskip-gated) are always
+# present.
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:  # pragma: no cover
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+
+    @query(
+        "q_stream_tws_user_stats",
+        oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_value,
+  epoch_us(MIN(ts)) AS first_us,
+  epoch_us(MAX(ts)) AS last_us
+FROM events
+GROUP BY user_id
+""",
+    )
+    def q_stream_tws_user_stats(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Typed ValueState per user holding (count, cents, first/last
+        micros). availableNow over one parquet file => one micro-batch,
+        so the final update per user equals the batch aggregate
+        (oracle-checkable); integer cents/micros accumulation keeps it
+        exact even when a replay splits into many micro-batches."""
+        name = _unique("stream_tws")
+        run_to_memory(
+            stream_user_stats_tws(spark, sf_dir),
+            name,
+            output_mode="update",
+        )
+        return spark.table(name)

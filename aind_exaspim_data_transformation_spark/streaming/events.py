@@ -202,3 +202,67 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — the
+    Spark 4.x successor to ``applyInPandasWithState`` (typed state
+    variables on the new operator's state store; timers/TTL available).
+    Keeps (count, value-cents, first/last event micros) in a ValueState
+    and emits the refreshed row per key per micro-batch.
+
+    Money is accumulated in integer cents and event times in integer
+    micros, so the emitted doubles/strings are exact regardless of how
+    rows split across micro-batches."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "stats",
+                "n LONG, cents LONG, first_us LONG, last_us LONG",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, cents, first_us, last_us = self._state.get()
+            else:
+                n, cents, first_us, last_us = 0, 0, None, None
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+                ts = pdf["ts"]
+                if getattr(ts.dtype, "tz", None) is not None:
+                    ts = ts.dt.tz_localize(None)
+                us = ts.astype("datetime64[us]").astype("int64")
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._state.update((n, cents, first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [cents / 100.0],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id long, n_events long, sum_value double, "
+            "first_us long, last_us long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

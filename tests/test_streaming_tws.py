@@ -1,0 +1,67 @@
+"""transformWithStateInPandas user stats vs the batch aggregate.
+
+The Spark 4.x arbitrary-state operator's Python worker speaks a
+protobuf-based state-server protocol; this container's pyspark has no
+google.protobuf, so the end-to-end test is importorskip-gated (same
+convention as the h5py cross-checks). The operator builds and resolves
+its plan without protobuf — asserted unconditionally below so the code
+path can't silently rot.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aind_exaspim_data_transformation_spark.streaming.events import (
+    run_to_memory,
+    stream_user_stats_tws,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tws_plan_builds(spark):
+    df = stream_user_stats_tws(spark, SF_DIR)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "sum_value",
+        "first_us",
+        "last_us",
+    ]
+
+
+def test_tws_matches_batch_aggregate(spark):
+    pytest.importorskip("google.protobuf")
+    run_to_memory(
+        stream_user_stats_tws(spark, SF_DIR),
+        "tws_stats_test",
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["first_us"])
+        for r in spark.table("tws_stats_test").collect()
+    }
+    from aind_exaspim_data_transformation_spark.sources.tables import (
+        load_table,
+    )
+
+    expected = {
+        r["user_id"]: (r["n"], r["s"], r["f"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("s"),
+            F.unix_micros(F.min("ts")).alias("f"),
+        )
+        .collect()
+    }
+    assert got == expected
