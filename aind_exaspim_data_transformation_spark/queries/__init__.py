@@ -11,6 +11,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     convert_q,
     dedup_q,
     events_q,
+    formats_q,
     grid_q,
     misc_q,
     modern_q,

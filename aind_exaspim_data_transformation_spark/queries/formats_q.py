@@ -1,0 +1,66 @@
+"""Columnar-format interop beyond parquet: ORC sink + source under the
+oracle gate.
+
+Spark ships an ORC reader/writer with the same Catalyst integration as
+parquet (vectorized scan, predicate pushdown, column pruning), so a
+100 TB deployment can ingest ORC-resident lakes without a conversion
+pass. The query writes a real ORC copy of ``orders``, reads it back with
+a pushed-down filter, and aggregates — DuckDB recomputes the expected
+result straight from the parquet view, so any encode/decode divergence
+in the ORC round trip breaks the hash.
+
+(Avro is an external Spark module not bundled in this container; the
+gap is environmental, not architectural — the same write/read/aggregate
+shape applies.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ._helpers import dsum, sql_dsum
+from .registry import query
+
+_ORC_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  {sql_dsum("o_totalprice", "sum_price")},
+  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("q_orc_roundtrip_agg", oracle=_ORC_ORACLE)
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC files -> filtered scan -> exact decimal aggregate.
+
+    The filter lands in the ORC scan as a pushed search argument and
+    only the four referenced columns are materialized (asserted in
+    tests/test_source_formats.py), so the round trip costs one
+    sequential write + one pruned scan at any scale.
+    """
+    orc_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"orc_oracle_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    return (
+        back.where(F.col("o_totalprice") > 1000.0)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )

@@ -103,3 +103,28 @@ def test_events_ts_normalizes_across_encodings(spark, tmp_path):
         )
     assert out["nanos"] == out["micros"]
     assert out["micros"][0] == "2024-01-01 12:00:00.123456"
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    # ORC: the second columnar lake format Spark ships natively. The
+    # round trip must be value-exact and the filter must reach the ORC
+    # scan as a search argument (with column pruning), mirroring the
+    # parquet pushdown assertions in test_plans.py.
+    path = str(tmp_path / "orders_orc")
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    plan = (
+        back.where(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_totalprice)" in plan
+    assert "o_orderstatus" not in plan.split("ReadSchema")[1][:200]
