@@ -8,6 +8,7 @@ Import side effects register the queries; keep the module list exhaustive.
 """
 
 from . import (  # noqa: F401  (import for registration side effects)
+    behavior_q,
     convert_q,
     dedup_q,
     events_q,

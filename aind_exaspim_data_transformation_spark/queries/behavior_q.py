@@ -1,0 +1,196 @@
+"""Behavioral analytics over ``events``: ordered funnel, cohort
+retention, and gap-filled time-series resampling.
+
+The three classic product-analytics operators a warehouse engine is
+judged on. All are pure DataFrame compositions — conditional
+aggregation, date arithmetic, and a generated time spine — no UDFs, so
+every stage stays inside whole-stage codegen.
+
+Scale notes (100 TB): each query shuffles on ``user_id`` or
+``(hour, event_type)`` — high-cardinality keys with map-side partial
+aggregation. The funnel's three stage-aggregations reuse the same
+``user_id`` hash partitioning, so AQE plans at most one wide exchange of
+the events table per stage and the stage-2/3 joins are
+broadcast-the-aggregate joins (one row per user reached). The gap-fill
+spine is generated from a two-row aggregate, never enumerated
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ._helpers import dsum, fmt_ts, sql_dsum
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Ordered funnel view -> click -> purchase: each stage must happen at or
+# after the previous stage's FIRST occurrence.
+# --------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+  strftime(v.first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+  strftime(c.first_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+  strftime(p.first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+  CASE WHEN p.user_id IS NOT NULL THEN 3
+       WHEN c.user_id IS NOT NULL THEN 2
+       WHEN v.user_id IS NOT NULL THEN 1
+       ELSE 0 END AS funnel_stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@query("q_events_funnel", oracle=_FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    u = ev.select("user_id").distinct()
+    joined = (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    return joined.select(
+        "user_id",
+        fmt_ts("first_view", "first_view"),
+        fmt_ts("first_click", "first_click"),
+        fmt_ts("first_purchase", "first_purchase"),
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0)
+        .alias("funnel_stage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active day, counted on each
+# later active day as a day offset.
+# --------------------------------------------------------------------------
+_RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_day, CAST(e.ts AS DATE) AS day
+  FROM events e JOIN cohort c ON e.user_id = c.user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+  date_diff('day', cohort_day, day) AS day_offset,
+  COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("q_events_retention_cohort", oracle=_RETENTION_ORACLE)
+def q_events_retention_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.join(F.broadcast(cohort), "user_id").distinct()
+    return (
+        activity.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-filled hourly resample: every (hour, event_type) cell over the full
+# observed range, zeros where no events landed. The spine is generated
+# from the min/max aggregate (two rows broadcast), never collected.
+# --------------------------------------------------------------------------
+_GAPFILL_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+cells AS (SELECT hour, event_type FROM spine CROSS JOIN types),
+agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+    COUNT(*) AS n, {sql_dsum("value", "s")}
+  FROM events GROUP BY 1, 2)
+SELECT strftime(c.hour, '%Y-%m-%d %H:%M:%S') AS hour, c.event_type,
+  COALESCE(a.n, 0) AS n_events,
+  COALESCE(a.s, 0.0) AS sum_value
+FROM cells c
+LEFT JOIN agg a ON c.hour = a.hour AND c.event_type = a.event_type
+"""
+
+
+@query("q_events_gapfill", oracle=_GAPFILL_ORACLE)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    cells = spine.crossJoin(F.broadcast(types))
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "s"),
+    )
+    return cells.join(agg, ["hour", "event_type"], "left").select(
+        fmt_ts("hour", "hour"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("s", F.lit(0.0)).alias("sum_value"),
+    )
