@@ -606,3 +606,160 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("qid", "cid", "approx_d2")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm) over the embeddings, K=8,
+# two fixed iterations from a deterministic seed (the first K vectors).
+# The assign step is a broadcast-centroid cross join with a row-local
+# distance fold; the update step is the classic explode -> per-(k, dim)
+# mean -> re-assemble arrays. That assign/update pair is the iterative
+# template q_ann_ivf's single step and pyspark.ml's KMeans both follow.
+#
+# Determinism: the per-(cluster, dim) mean folds a VALUE-SORTED
+# collect_list, so the double is identical under any partitioning and
+# matches DuckDB's list_sum(list(val ORDER BY val)) exactly. A
+# production run would use plain F.sum (order-free up to fp noise, no
+# per-group materialization); the sorted fold is the cross-engine
+# bit-determinism harness, swappable one line.
+#
+# Scale notes: per iteration, the big side shuffles twice (argmin window
+# on vec_id, update groupBy on (k, dim)); centroids stay K x D rows and
+# always broadcast. Iterations chain lazily — one action at the end.
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_DIM = 64
+_KM_ITERS = 2
+
+_KM_D2 = (
+    "list_sum(list_transform(range(1, {dim} + 1), "
+    "i -> (v[i] - c[i]) * (v[i] - c[i])))"
+).format(dim=_KM_DIM)
+
+
+def _km_oracle() -> str:
+    parts = [
+        f"""
+vecs AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS dim),
+c0 AS (SELECT vec_id AS k, v AS c FROM vecs WHERE vec_id < {_KM_K})"""
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"""
+a{it} AS (
+  SELECT vec_id, k FROM (
+    SELECT vecs.vec_id, {prev}.k,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                         ORDER BY {_KM_D2}, {prev}.k) AS rn
+    FROM vecs CROSS JOIN {prev})
+  WHERE rn = 1),
+u{it} AS (
+  SELECT a{it}.k, dims.dim,
+    list_sum(list(vecs.v[dims.dim] ORDER BY vecs.v[dims.dim]))
+      / COUNT(*) AS c
+  FROM vecs JOIN a{it} USING (vec_id) CROSS JOIN dims
+  GROUP BY a{it}.k, dims.dim),
+c{it} AS (SELECT k, list(c ORDER BY dim) AS c FROM u{it} GROUP BY k)"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"""
+afinal AS (
+  SELECT vec_id, k FROM (
+    SELECT vecs.vec_id, {prev}.k,
+      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                         ORDER BY {_KM_D2}, {prev}.k) AS rn
+    FROM vecs CROSS JOIN {prev})
+  WHERE rn = 1)"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT a.k, COUNT(*) AS n_members,
+  CAST(MIN(a.vec_id) AS BIGINT) AS min_vec,
+  ANY_VALUE(cn.norm) AS centroid_norm
+FROM afinal a
+JOIN (SELECT k,
+        sqrt(list_sum(list_transform(c, x -> x * x))) AS norm
+      FROM {prev}) cn ON a.k = cn.k
+GROUP BY a.k"""
+    )
+
+
+def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "k")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "k", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "k")
+    )
+
+
+@query("q_kmeans_embeddings", oracle=_km_oracle())
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = vecs.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("c")
+    )
+    for _ in range(_KM_ITERS):
+        assign = _km_assign(vecs, cents)
+        exploded = (
+            vecs.join(assign, "vec_id")
+            .select("k", F.posexplode("v").alias("pos", "val"))
+            .select("k", (F.col("pos") + 1).alias("dim"), "val")
+        )
+        upd = exploded.groupBy("k", "dim").agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("val")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        cents = upd.groupBy("k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("c")
+        )
+    final = _km_assign(vecs, cents)
+    norms = cents.select(
+        "k",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("c"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("centroid_norm"),
+    )
+    return (
+        final.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec"),
+        )
+        .join(F.broadcast(norms), "k")
+        .select("k", "n_members", "min_vec", "centroid_norm")
+    )
