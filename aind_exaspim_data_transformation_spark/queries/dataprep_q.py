@@ -1,0 +1,188 @@
+"""Training-data assembly operators: temperature-based domain sampling
+and fixed-length sequence packing over ``documents``.
+
+The last two stages of an LLM data pipeline after filtering/dedup:
+re-weight the domain mixture (temperature sampling a la multilingual
+training, alpha=0.5) and pack the token stream into fixed-capacity
+training examples. Both are deterministic — sampling uses an md5-derived
+uniform per document (both engines agree on md5, so the kept set is
+reproducible and oracle-checkable), packing is pure integer arithmetic.
+
+Scale notes (100 TB):
+
+- Temperature sampling is two tiny aggregates (domain counts, weight
+  normalization over a sorted fold of ~dozens of domains) broadcast
+  against a map-only keep/drop pass — the corpus is scanned once and
+  never shuffled.
+- Sequence packing avoids the single-partition global cumsum: token
+  offsets accumulate per-source in parallel windows, and a second
+  window over the per-source TOTALS (one row per source) supplies each
+  source's global offset. The concatenation order (source, doc_id) is
+  total, so example ids are stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_ALPHA_SQRT = True  # alpha = 0.5 -> weight = sqrt(share)
+_SAMPLE_FRACTION = 0.5  # target kept fraction of the corpus
+_SEQ_LEN = 512  # tokens per packed training example
+
+
+def _uniform_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(('0x' || substring(md5({expr}), 1, 8)) AS UBIGINT)"
+        " AS DOUBLE) / 4294967296.0"
+    )
+
+
+def _uniform_col(c) -> object:
+    return (
+        F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / 4294967296.0
+    )
+
+
+_TEMP_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+    'd' || CAST(CAST(substring(source, 4, 10) AS INTEGER) % 3 AS VARCHAR)
+      AS domain
+  FROM documents),
+dc AS (SELECT domain, COUNT(*) AS n_d FROM docs GROUP BY domain),
+tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM dc),
+dw AS (
+  SELECT domain, n_d,
+    sqrt(CAST(n_d AS DOUBLE) / tot.n) AS w
+  FROM dc CROSS JOIN tot),
+norm AS (SELECT list_sum(list(w ORDER BY domain)) AS z FROM dw),
+probs AS (
+  SELECT dw.domain, dw.n_d, (dw.w / norm.z) AS p_d,
+    CASE WHEN (dw.w / norm.z) * ({_SAMPLE_FRACTION} * tot.n) / dw.n_d > 1.0
+         THEN 1.0
+         ELSE (dw.w / norm.z) * ({_SAMPLE_FRACTION} * tot.n) / dw.n_d
+    END AS keep_prob
+  FROM dw CROSS JOIN norm CROSS JOIN tot)
+SELECT d.doc_id, d.domain, p.keep_prob,
+  {_uniform_sql("CAST(d.doc_id AS VARCHAR)")} AS u
+FROM docs d JOIN probs p ON d.domain = p.domain
+WHERE {_uniform_sql("CAST(d.doc_id AS VARCHAR)")} < p.keep_prob
+"""
+
+
+@query("q_docs_temperature_sample", oracle=_TEMP_ORACLE)
+def q_docs_temperature_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-resampled corpus (alpha=0.5 over 3 synthetic domains
+    derived from ``source``): target mixture p_d ~ sqrt(n_d/N)
+    renormalized via a domain-sorted fold, per-doc keep probability
+    min(1, p_d * target / n_d), kept set decided by an md5-uniform."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("d"),
+            (F.substring("source", 4, 10).cast("int") % 3).cast("string"),
+        ).alias("domain"),
+    )
+    dc = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = dc.agg(F.sum("n_d").alias("n"))
+    dw = dc.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_d",
+        "n",
+        F.sqrt(F.col("n_d").cast("double") / F.col("n")).alias("w"),
+    )
+    norm = dw.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("z")
+    )
+    p_d = F.col("w") / F.col("z")
+    raw = p_d * (F.lit(_SAMPLE_FRACTION) * F.col("n")) / F.col("n_d")
+    probs = dw.crossJoin(F.broadcast(norm)).select(
+        "domain",
+        p_d.alias("p_d"),
+        F.when(raw > 1.0, F.lit(1.0)).otherwise(raw).alias("keep_prob"),
+    )
+    u = _uniform_col(F.col("doc_id").cast("string"))
+    return (
+        docs.join(F.broadcast(probs), "domain")
+        .where(u < F.col("keep_prob"))
+        .select("doc_id", "domain", "keep_prob", u.alias("u"))
+    )
+
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in_src
+  FROM toks),
+src_tot AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total FROM toks
+  GROUP BY source),
+src_off AS (
+  SELECT source,
+    CAST(SUM(total) OVER (ORDER BY source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total
+      AS BIGINT) AS offset
+  FROM src_tot)
+SELECT c.doc_id, c.source, c.n_tokens,
+  CAST(o.offset + c.cum_in_src - c.n_tokens AS BIGINT) AS global_start,
+  CAST((o.offset + c.cum_in_src - c.n_tokens) // {_SEQ_LEN} AS BIGINT)
+    AS first_example,
+  CAST((o.offset + c.cum_in_src - 1) // {_SEQ_LEN} AS BIGINT)
+    AS last_example
+FROM cum c JOIN src_off o ON c.source = o.source
+"""
+
+
+@query("q_docs_pack_sequences", oracle=_PACK_ORACLE)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the whitespace-token
+    stream in (source, doc_id) order and cut every ``_SEQ_LEN`` tokens;
+    emit each document's global token offset and the example-id range it
+    lands in. Pure integer window arithmetic — exact at any scale."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_in_src", F.sum("n_tokens").over(w_src))
+    src_tot = toks.groupBy("source").agg(F.sum("n_tokens").alias("total"))
+    w_off = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    src_off = src_tot.select(
+        "source",
+        (F.sum("total").over(w_off) - F.col("total")).alias("offset"),
+    )
+    gstart = F.col("offset") + F.col("cum_in_src") - F.col("n_tokens")
+    gend = F.col("offset") + F.col("cum_in_src")
+    return cum.join(F.broadcast(src_off), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        gstart.alias("global_start"),
+        F.floor(gstart / _SEQ_LEN).alias("first_example"),
+        F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
+    )
