@@ -64,3 +64,52 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("min_key"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# XML round trip (Spark 4 ships the spark-xml reader/writer natively).
+# Schema is supplied on read — inference is for exploration, not
+# round-trip contracts. Integer/string columns only: XML carries no
+# type system, so exactness is the schema's job.
+# --------------------------------------------------------------------------
+_XML_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("q_xml_roundtrip_agg", oracle=_XML_ORACLE)
+def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders keys/status/priority -> XML rows -> schema'd scan ->
+    aggregate. The XML source distributes like any file scan (one task
+    per split), so ingesting XML-resident feeds needs no staging hop."""
+    xml_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"xml_oracle_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "order")
+        .save(xml_dir)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey long, o_orderstatus string, o_orderpriority string"
+        )
+        .load(xml_dir)
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -151,3 +151,53 @@ def q_udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.bigram "
         "FROM docs_for_udtf d, LATERAL word_bigrams(d.text) t"
     )
+
+
+# --------------------------------------------------------------------------
+# SQL scripting (Spark 4.x BEGIN...END compound statements): procedural
+# control flow — DECLARE'd session variables, a WHILE loop, and a
+# scalar-subquery SET — executing entirely inside spark.sql(). The loop
+# computes a modulus (2^5), the SET pulls an exact-decimal average
+# price, and the final SELECT filters on both. DuckDB has no scripting;
+# the oracle inlines the loop's closed form and the same exact-decimal
+# average, so the results must agree bit-for-bit.
+# --------------------------------------------------------------------------
+_SCRIPT = """
+BEGIN
+  DECLARE i INT DEFAULT 0;
+  DECLARE acc BIGINT DEFAULT 1;
+  DECLARE thr DOUBLE DEFAULT 0.0;
+  WHILE i < 5 DO
+    SET acc = acc * 2;
+    SET i = i + 1;
+  END WHILE;
+  SET thr = (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                         AS DOUBLE) / COUNT(*) FROM orders);
+  SELECT o_orderstatus, COUNT(*) AS n_above, acc AS modulus
+  FROM orders
+  WHERE o_totalprice > thr AND o_orderkey % acc = 0
+  GROUP BY o_orderstatus;
+END
+"""
+
+_SCRIPT_ORACLE = """
+WITH thr AS (
+  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS v
+  FROM orders)
+SELECT o_orderstatus, COUNT(*) AS n_above, CAST(32 AS BIGINT) AS modulus
+FROM orders CROSS JOIN thr
+WHERE o_totalprice > thr.v AND o_orderkey % 32 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("q_sql_scripting_compound", oracle=_SCRIPT_ORACLE)
+def q_sql_scripting_compound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.tables import register_views
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir)
+    return spark.sql(_SCRIPT)
