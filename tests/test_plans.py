@@ -131,3 +131,56 @@ def test_sort_merge_transition_parity(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    # Spark injects a runtime Bloom filter on the probe side of a
+    # shuffle join when the build side is selectively filtered — at
+    # cluster scale (probe scan >= the 10 GB default threshold) this
+    # prunes most of the big side before the shuffle. The threshold is
+    # floored here to trigger on test data; the assertion is that the
+    # filter IS injected (bloom_filter_agg builds, might_contain
+    # probes) and the join result is unchanged by the rewrite.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+        )
+    }
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").where(
+        "o_orderstatus = 'P'"
+    )
+    expected = sorted(
+        map(
+            tuple,
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+            .collect(),
+        )
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert sorted(map(tuple, j.collect())) == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
