@@ -98,6 +98,23 @@ def main() -> None:
                 shard_shape=(32, 32, 32),
             ),
         )
+    # One untimed bench-scale run first: the initial large conversion in
+    # a session pays Python-worker buffer growth and page-cache
+    # population (observed spread without it: [3.2 s, 6.5 s] for
+    # identical work), exactly like the per-query warm-ups above.
+    with tempfile.TemporaryDirectory() as tmp:
+        convert_to_zarr(
+            spark,
+            ConvertJobSettings(
+                input_source="synth://2048,1024,1024,1",
+                output_location=os.path.join(tmp, "warm_full.zarr"),
+                chunk_shape=(64, 64, 64),
+                shard_shape=(128, 128, 128),
+                translate_pyramid=True,
+                codec="zstd",
+                codec_level=3,
+            ),
+        )
     conv_runs: list[float] = []
     for _ in range(3):
         with tempfile.TemporaryDirectory() as tmp:
