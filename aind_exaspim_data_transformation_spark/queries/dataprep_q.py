@@ -186,3 +186,202 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(gstart / _SEQ_LEN).alias("first_example"),
         F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
     )
+
+
+# --------------------------------------------------------------------------
+# The full training-data assembly pipeline as ONE declarative plan:
+# quality filter (Gopher repetition thresholds) -> exact dedup (md5,
+# keep lowest doc_id) -> temperature resample (alpha=0.5 over domains,
+# recomputed on the surviving set) -> sequence packing of the kept
+# stream. Four pipeline stages in one lazy plan.
+#
+# Scale notes: stage order matters at 100 TB — the map-only filter runs
+# first so every downstream shuffle (dedup window on the hash, sampling
+# aggregates, packing windows) moves only surviving rows. The survivor
+# set is CACHED right after dedup: five downstream branches (domain
+# counts, normalization, sampling, cumsum, offsets) fan out from it, and
+# without the cache Catalyst re-expands each branch to its own
+# text-column scan + filter + dedup window (measured: 12 parquet scans
+# of the corpus). Post-dedup rows carry only (doc_id, source, n_words,
+# domain) — the text never enters the cache. The heaviest exchange is
+# the dedup hash partition; packing reuses the per-source
+# parallel-cumsum shape of q_docs_pack_sequences.
+# --------------------------------------------------------------------------
+_PIPE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents),
+sig AS (
+  SELECT doc_id, source, text, n_words,
+    CAST(list_max(list_transform(list_distinct(ws),
+           w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / n_words
+      AS top_frac,
+    1.0 - CAST(len(list_distinct(list_transform(range(1, n_words),
+           i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE)
+          / (n_words - 1) AS dup2_frac
+  FROM base WHERE n_words >= 10),
+filtered AS (
+  SELECT doc_id, source, text, n_words FROM sig
+  WHERE top_frac <= 0.20 AND dup2_frac <= 0.60),
+deduped AS (
+  SELECT doc_id, source, n_words FROM (
+    SELECT doc_id, source, n_words,
+      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM filtered)
+  WHERE rn = 1),
+doms AS (
+  SELECT doc_id, source, n_words,
+    'd' || CAST(CAST(substring(source, 4, 10) AS INTEGER) % 3 AS VARCHAR)
+      AS domain
+  FROM deduped),
+dc AS (SELECT domain, COUNT(*) AS n_d FROM doms GROUP BY domain),
+tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM dc),
+dw AS (SELECT domain, n_d, sqrt(CAST(n_d AS DOUBLE) / tot.n) AS w
+       FROM dc CROSS JOIN tot),
+norm AS (SELECT list_sum(list(w ORDER BY domain)) AS z FROM dw),
+probs AS (
+  SELECT dw.domain,
+    CASE WHEN (dw.w / norm.z) * (0.5 * tot.n) / dw.n_d > 1.0 THEN 1.0
+         ELSE (dw.w / norm.z) * (0.5 * tot.n) / dw.n_d END AS keep_prob
+  FROM dw CROSS JOIN norm CROSS JOIN tot),
+sampled AS (
+  SELECT d.doc_id, d.source, d.domain, d.n_words
+  FROM doms d JOIN probs p ON d.domain = p.domain
+  WHERE {_uniform_sql("CAST(d.doc_id AS VARCHAR)")} < p.keep_prob),
+cum AS (
+  SELECT doc_id, source, domain, n_words,
+    SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in_src
+  FROM sampled),
+src_off AS (
+  SELECT source,
+    CAST(SUM(total) OVER (ORDER BY source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total
+      AS BIGINT) AS offset
+  FROM (SELECT source, CAST(SUM(n_words) AS BIGINT) AS total
+        FROM sampled GROUP BY source))
+SELECT c.doc_id, c.source, c.domain, c.n_words,
+  CAST(o.offset + c.cum_in_src - c.n_words AS BIGINT) AS global_start,
+  CAST((o.offset + c.cum_in_src - c.n_words) // {_SEQ_LEN} AS BIGINT)
+    AS first_example,
+  CAST((o.offset + c.cum_in_src - 1) // {_SEQ_LEN} AS BIGINT)
+    AS last_example
+FROM cum c JOIN src_off o ON c.source = o.source
+"""
+
+
+@query("q_docs_training_pipeline", oracle=_PIPE_ORACLE)
+def q_docs_training_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """filter -> dedup -> resample -> pack as one lazy plan; the corpus
+    text is read once and each stage's shuffle moves only survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda w: F.size(F.filter(ws, lambda x: x == w)),
+            )
+        ).cast("double")
+        / n
+    )
+    bigrams = F.transform(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),
+    )
+    dup2_frac = F.lit(1.0) - F.size(
+        F.array_distinct(bigrams)
+    ).cast("double") / (n - 1)
+    filtered = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            n.alias("n_words"),
+            top_frac.alias("top_frac"),
+            dup2_frac.alias("dup2_frac"),
+        )
+        .where(F.col("n_words") >= 10)
+        .where(
+            (F.col("top_frac") <= 0.20) & (F.col("dup2_frac") <= 0.60)
+        )
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            F.concat(
+                F.lit("d"),
+                (F.substring("source", 4, 10).cast("int") % 3).cast(
+                    "string"
+                ),
+            ).alias("domain"),
+        )
+        .cache()
+    )
+    dc = deduped.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = dc.agg(F.sum("n_d").alias("n"))
+    dw = dc.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_d",
+        "n",
+        F.sqrt(F.col("n_d").cast("double") / F.col("n")).alias("w"),
+    )
+    norm = dw.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("z")
+    )
+    raw = (
+        (F.col("w") / F.col("z"))
+        * (F.lit(0.5) * F.col("n"))
+        / F.col("n_d")
+    )
+    probs = dw.crossJoin(F.broadcast(norm)).select(
+        "domain",
+        F.when(raw > 1.0, F.lit(1.0)).otherwise(raw).alias("keep_prob"),
+    )
+    u = _uniform_col(F.col("doc_id").cast("string"))
+    sampled = (
+        deduped.join(F.broadcast(probs), "domain")
+        .where(u < F.col("keep_prob"))
+        .select("doc_id", "source", "domain", "n_words")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sampled.withColumn("cum_in_src", F.sum("n_words").over(w_src))
+    w_off = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    src_off = (
+        sampled.groupBy("source")
+        .agg(F.sum("n_words").alias("total"))
+        .select(
+            "source",
+            (F.sum("total").over(w_off) - F.col("total")).alias("offset"),
+        )
+    )
+    gstart = F.col("offset") + F.col("cum_in_src") - F.col("n_words")
+    gend = F.col("offset") + F.col("cum_in_src")
+    return cum.join(F.broadcast(src_off), "source").select(
+        "doc_id",
+        "source",
+        "domain",
+        "n_words",
+        gstart.alias("global_start"),
+        F.floor(gstart / _SEQ_LEN).alias("first_example"),
+        F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
+    )
