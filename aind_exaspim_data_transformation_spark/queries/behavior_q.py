@@ -18,7 +18,7 @@ driver-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -194,3 +194,95 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("s", F.lit(0.0)).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-24h rolling features per user: a RANGE frame over event-time
+# micros. The frame is time-based (not row-based), so burst-y users get
+# correct windows; one exchange on user_id + one sort serves both
+# aggregates.
+# --------------------------------------------------------------------------
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS n_24h,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS VARCHAR)
+       AS DOUBLE) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_events_rolling_24h", oracle=_ROLLING_ORACLE)
+def q_events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86400000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_24h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+# Spark 4): per-group sketches union into a global estimate WITHOUT
+# re-touching the data — the two-level pattern that makes distinct
+# counts cheap at 100 TB (partial sketches merge like partial sums; an
+# exact count_distinct re-shuffles raw keys). The sketch estimate is
+# deterministic for a given input multiset, so the within-bound check is
+# stable; the oracle carries the exact counts and TRUE.
+# --------------------------------------------------------------------------
+_HLL_ORACLE = """
+SELECT l_returnflag AS grp,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+  TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT '__union__', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT), TRUE
+FROM lineitem
+"""
+
+
+@query("q_hll_sketch_union", oracle=_HLL_ORACLE)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+    )
+    bound = (
+        F.abs(
+            F.hll_sketch_estimate("sk").cast("double")
+            - F.col("exact_distinct")
+        )
+        / F.col("exact_distinct")
+        <= 0.05
+    )
+    per_rows = per.select(
+        F.col("l_returnflag").alias("grp"),
+        "exact_distinct",
+        bound.alias("within_bound"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    exact_total = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct")
+    )
+    total_row = merged.crossJoin(exact_total).select(
+        F.lit("__union__").alias("grp"),
+        "exact_distinct",
+        bound.alias("within_bound"),
+    )
+    return per_rows.unionByName(total_row)
