@@ -8,12 +8,13 @@ every stage stays inside whole-stage codegen.
 
 Scale notes (100 TB): each query shuffles on ``user_id`` or
 ``(hour, event_type)`` — high-cardinality keys with map-side partial
-aggregation. The funnel's three stage-aggregations reuse the same
-``user_id`` hash partitioning, so AQE plans at most one wide exchange of
-the events table per stage and the stage-2/3 joins are
-broadcast-the-aggregate joins (one row per user reached). The gap-fill
-spine is generated from a two-row aggregate, never enumerated
-driver-side.
+aggregation. Per-user aggregates (funnel stages, cohorts) are
+UNBOUNDED relations — one row per distinct user — so they carry no
+broadcast hint: AQE broadcasts them at small scale and falls back to
+shuffle joins when they outgrow the threshold. Only genuinely bounded
+relations (the distinct event-type list, per-domain probabilities) are
+hinted. The gap-fill spine is generated from a two-row aggregate,
+never enumerated driver-side.
 """
 
 from __future__ import annotations
@@ -71,14 +72,14 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") >= F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") >= F.col("first_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))
@@ -129,7 +130,7 @@ def q_events_retention_cohort(
         "user_id", F.to_date("ts").alias("day")
     )
     cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    activity = ev.join(F.broadcast(cohort), "user_id").distinct()
+    activity = ev.join(cohort, "user_id").distinct()
     return (
         activity.groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),

@@ -50,26 +50,72 @@ def _uniform_col(c) -> object:
     )
 
 
-_TEMP_ORACLE = f"""
-WITH docs AS (
-  SELECT doc_id, source,
-    'd' || CAST(CAST(substring(source, 4, 10) AS INTEGER) % 3 AS VARCHAR)
-      AS domain
-  FROM documents),
-dc AS (SELECT domain, COUNT(*) AS n_d FROM docs GROUP BY domain),
+# Domain derivation and temperature-mixture probabilities are shared by
+# the standalone sampling query and the composite pipeline — single
+# definition each, in both Spark and SQL form, so a threshold or
+# fold-order change cannot silently diverge between the two.
+_DOMAIN_SQL = (
+    "'d' || CAST(CAST(substring(source, 4, 10) AS INTEGER) % 3"
+    " AS VARCHAR)"
+)
+
+
+def _domain_col():
+    return F.concat(
+        F.lit("d"),
+        (F.substring("source", 4, 10).cast("int") % 3).cast("string"),
+    )
+
+
+def _probs_sql(src_cte: str) -> str:
+    """CTE chain deriving (domain, keep_prob) from ``src_cte(domain)``."""
+    raw = f"(dw.w / norm.z) * ({_SAMPLE_FRACTION} * tot.n) / dw.n_d"
+    return f"""dc AS (SELECT domain, COUNT(*) AS n_d FROM {src_cte} GROUP BY domain),
 tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM dc),
-dw AS (
-  SELECT domain, n_d,
-    sqrt(CAST(n_d AS DOUBLE) / tot.n) AS w
-  FROM dc CROSS JOIN tot),
+dw AS (SELECT domain, n_d, sqrt(CAST(n_d AS DOUBLE) / tot.n) AS w
+       FROM dc CROSS JOIN tot),
 norm AS (SELECT list_sum(list(w ORDER BY domain)) AS z FROM dw),
 probs AS (
-  SELECT dw.domain, dw.n_d, (dw.w / norm.z) AS p_d,
-    CASE WHEN (dw.w / norm.z) * ({_SAMPLE_FRACTION} * tot.n) / dw.n_d > 1.0
-         THEN 1.0
-         ELSE (dw.w / norm.z) * ({_SAMPLE_FRACTION} * tot.n) / dw.n_d
-    END AS keep_prob
-  FROM dw CROSS JOIN norm CROSS JOIN tot)
+  SELECT dw.domain,
+    CASE WHEN {raw} > 1.0 THEN 1.0 ELSE {raw} END AS keep_prob
+  FROM dw CROSS JOIN norm CROSS JOIN tot)"""
+
+
+def _temperature_probs(domained: DataFrame) -> DataFrame:
+    """(domain, keep_prob) for alpha=0.5 mixture re-weighting of any
+    DataFrame carrying a ``domain`` column. The normalization folds a
+    domain-sorted collect_list so the doubles are bit-deterministic."""
+    dc = domained.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = dc.agg(F.sum("n_d").alias("n"))
+    dw = dc.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_d",
+        "n",
+        F.sqrt(F.col("n_d").cast("double") / F.col("n")).alias("w"),
+    )
+    norm = dw.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("z")
+    )
+    raw = (
+        (F.col("w") / F.col("z"))
+        * (F.lit(_SAMPLE_FRACTION) * F.col("n"))
+        / F.col("n_d")
+    )
+    return dw.crossJoin(F.broadcast(norm)).select(
+        "domain",
+        F.when(raw > 1.0, F.lit(1.0)).otherwise(raw).alias("keep_prob"),
+    )
+
+
+_TEMP_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, source, {_DOMAIN_SQL} AS domain
+  FROM documents),
+{_probs_sql("docs")}
 SELECT d.doc_id, d.domain, p.keep_prob,
   {_uniform_sql("CAST(d.doc_id AS VARCHAR)")} AS u
 FROM docs d JOIN probs p ON d.domain = p.domain
@@ -86,35 +132,9 @@ def q_docs_temperature_sample(
     renormalized via a domain-sorted fold, per-doc keep probability
     min(1, p_d * target / n_d), kept set decided by an md5-uniform."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.lit("d"),
-            (F.substring("source", 4, 10).cast("int") % 3).cast("string"),
-        ).alias("domain"),
+        "doc_id", "source", _domain_col().alias("domain")
     )
-    dc = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
-    tot = dc.agg(F.sum("n_d").alias("n"))
-    dw = dc.crossJoin(F.broadcast(tot)).select(
-        "domain",
-        "n_d",
-        "n",
-        F.sqrt(F.col("n_d").cast("double") / F.col("n")).alias("w"),
-    )
-    norm = dw.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("domain", "w"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["w"],
-        ).alias("z")
-    )
-    p_d = F.col("w") / F.col("z")
-    raw = p_d * (F.lit(_SAMPLE_FRACTION) * F.col("n")) / F.col("n_d")
-    probs = dw.crossJoin(F.broadcast(norm)).select(
-        "domain",
-        p_d.alias("p_d"),
-        F.when(raw > 1.0, F.lit(1.0)).otherwise(raw).alias("keep_prob"),
-    )
+    probs = _temperature_probs(docs)
     u = _uniform_col(F.col("doc_id").cast("string"))
     return (
         docs.join(F.broadcast(probs), "domain")
@@ -231,20 +251,9 @@ deduped AS (
     FROM filtered)
   WHERE rn = 1),
 doms AS (
-  SELECT doc_id, source, n_words,
-    'd' || CAST(CAST(substring(source, 4, 10) AS INTEGER) % 3 AS VARCHAR)
-      AS domain
+  SELECT doc_id, source, n_words, {_DOMAIN_SQL} AS domain
   FROM deduped),
-dc AS (SELECT domain, COUNT(*) AS n_d FROM doms GROUP BY domain),
-tot AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM dc),
-dw AS (SELECT domain, n_d, sqrt(CAST(n_d AS DOUBLE) / tot.n) AS w
-       FROM dc CROSS JOIN tot),
-norm AS (SELECT list_sum(list(w ORDER BY domain)) AS z FROM dw),
-probs AS (
-  SELECT dw.domain,
-    CASE WHEN (dw.w / norm.z) * (0.5 * tot.n) / dw.n_d > 1.0 THEN 1.0
-         ELSE (dw.w / norm.z) * (0.5 * tot.n) / dw.n_d END AS keep_prob
-  FROM dw CROSS JOIN norm CROSS JOIN tot),
+{_probs_sql("doms")},
 sampled AS (
   SELECT d.doc_id, d.source, d.domain, d.n_words
   FROM doms d JOIN probs p ON d.domain = p.domain
@@ -276,7 +285,12 @@ def q_docs_training_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """filter -> dedup -> resample -> pack as one lazy plan; the corpus
-    text is read once and each stage's shuffle moves only survivors."""
+    text is read once and each stage's shuffle moves only survivors.
+
+    The survivor cache lives for the SparkSession (the returned
+    DataFrame is lazy, so the function cannot unpersist it); repeated
+    invocations re-cache the same small metadata relation and long-lived
+    sessions should ``spark.catalog.clearCache()`` between corpora."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     n = F.size(ws)
@@ -318,39 +332,11 @@ def q_docs_training_pipeline(
             "doc_id",
             "source",
             "n_words",
-            F.concat(
-                F.lit("d"),
-                (F.substring("source", 4, 10).cast("int") % 3).cast(
-                    "string"
-                ),
-            ).alias("domain"),
+            _domain_col().alias("domain"),
         )
         .cache()
     )
-    dc = deduped.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
-    tot = dc.agg(F.sum("n_d").alias("n"))
-    dw = dc.crossJoin(F.broadcast(tot)).select(
-        "domain",
-        "n_d",
-        "n",
-        F.sqrt(F.col("n_d").cast("double") / F.col("n")).alias("w"),
-    )
-    norm = dw.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("domain", "w"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["w"],
-        ).alias("z")
-    )
-    raw = (
-        (F.col("w") / F.col("z"))
-        * (F.lit(0.5) * F.col("n"))
-        / F.col("n_d")
-    )
-    probs = dw.crossJoin(F.broadcast(norm)).select(
-        "domain",
-        F.when(raw > 1.0, F.lit(1.0)).otherwise(raw).alias("keep_prob"),
-    )
+    probs = _temperature_probs(deduped)
     u = _uniform_col(F.col("doc_id").cast("string"))
     sampled = (
         deduped.join(F.broadcast(probs), "domain")

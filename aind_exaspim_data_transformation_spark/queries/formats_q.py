@@ -12,11 +12,20 @@ in the ORC round trip breaks the hash.
 (Avro is an external Spark module not bundled in this container; the
 gap is environmental, not architectural — the same write/read/aggregate
 shape applies.)
+
+Contract note: calling a round-trip query function performs the format
+WRITE eagerly (the write is half of the operator under test); only the
+read-back aggregate is returned lazily. Staging paths live under a
+per-process temp root (cleaned at interpreter exit), so concurrent
+harness processes never race on a shared directory.
 """
 
 from __future__ import annotations
 
+import atexit
+import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +45,17 @@ WHERE o_totalprice > 1000.0
 GROUP BY o_orderstatus, o_orderpriority
 """
 
+# Per-process staging root: unique per interpreter (no cross-process
+# overwrite races), keyed by the FULL sf_dir path (no basename
+# collisions), removed at exit.
+_STAGING_ROOT = tempfile.mkdtemp(prefix="spark_formats_oracle_")
+atexit.register(shutil.rmtree, _STAGING_ROOT, ignore_errors=True)
+
+
+def _staging_dir(kind: str, sf_dir: str) -> str:
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(_STAGING_ROOT, f"{kind}_{digest}")
+
 
 @query("q_orc_roundtrip_agg", oracle=_ORC_ORACLE)
 def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,10 +66,7 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_source_formats.py), so the round trip costs one
     sequential write + one pruned scan at any scale.
     """
-    orc_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"orc_oracle_orders_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    orc_dir = _staging_dir("orc_orders", sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
@@ -87,10 +104,7 @@ def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders keys/status/priority -> XML rows -> schema'd scan ->
     aggregate. The XML source distributes like any file scan (one task
     per split), so ingesting XML-resident feeds needs no staging hop."""
-    xml_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"xml_oracle_orders_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    xml_dir = _staging_dir("xml_orders", sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )

@@ -18,9 +18,15 @@ Scale notes (100 TB):
 - PII redaction is likewise map-only: regexp_count + regexp_replace are
   JVM-side codegen'd expressions, no Python in the loop.
 - The corpus duplicate-5-gram query is an inverted-index aggregation:
-  per-doc DISTINCT grams explode once, aggregate on the gram key
-  (map-side partial count first), and join back on doc_id. Both
-  shuffles are on high-cardinality keys; no all-pairs stage exists.
+  per-doc DISTINCT grams explode, aggregate on the gram key (map-side
+  partial count first), and join back on doc_id. Both shuffles are on
+  high-cardinality keys; no all-pairs stage exists. The exploded index
+  feeds two plan branches (the gram-count aggregate and the probe side
+  of the join), so it is persisted MEMORY_AND_DISK — without that,
+  Catalyst re-expands both branches into their own text-scan + shingle
+  + explode, doubling the heaviest stage; at extreme scale where even
+  the spilled index is unwelcome, drop the persist and accept the
+  recompute (one line).
 """
 
 from __future__ import annotations
@@ -283,10 +289,11 @@ FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 def q_text_dup_5gram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate 5-gram fraction via an inverted index.
 
-    Distinct grams are built row-locally, explode once, aggregate on the
-    gram key (map-side partial agg), join back on doc_id — two shuffles
-    on high-cardinality keys, no pairwise stage. At 100 TB this is the
-    same shape as the MinHash pipeline's shingle stage.
+    Distinct grams are built row-locally, exploded into a persisted
+    inverted index, aggregated on the gram key (map-side partial agg),
+    and joined back on doc_id — two shuffles on high-cardinality keys,
+    no pairwise stage. At 100 TB this is the same shape as the MinHash
+    pipeline's shingle stage.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
@@ -308,9 +315,11 @@ def q_text_dup_5gram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from pyspark.storagelevel import StorageLevel
+
     exploded = base.select(
         "doc_id", F.explode(g5).alias("gram")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     gram_docs = exploded.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
