@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
-_ALPHA_SQRT = True  # alpha = 0.5 -> weight = sqrt(share)
 _SAMPLE_FRACTION = 0.5  # target kept fraction of the corpus
 _SEQ_LEN = 512  # tokens per packed training example
 
