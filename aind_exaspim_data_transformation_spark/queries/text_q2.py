@@ -345,3 +345,51 @@ def q_text_dup_5gram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# approx_top_k (Spark 4.x): sketch-based frequent items over the token
+# stream. The sketch tracks up to maxItemsTracked items with exact
+# counts and degrades gracefully above that — the mergeable heavy-
+# hitters pattern for 100 TB corpora (per-partition sketches combine
+# like partial aggregates; an exact global top-k re-shuffles every
+# token). The oracle asserts the VERIFIABLE properties instead of the
+# raw sketch rows, which keeps the check tie-robust: every returned
+# count equals the exact count, and every returned item sits within the
+# top-(k+5) exact ranks (ties at the k boundary may swap set members).
+# --------------------------------------------------------------------------
+_TOPK_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_returned,
+  TRUE AS counts_exact,
+  TRUE AS within_rank_15
+"""
+
+
+@query("q_text_approx_top_k", oracle=_TOPK_ORACLE)
+def q_text_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    topk = words.agg(F.expr("approx_top_k(word, 10)").alias("tk"))
+    items = topk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("word"),
+        F.col("s.count").alias("approx_count"),
+    )
+    from pyspark.sql import Window as W
+
+    exact = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.desc("exact_count"), F.asc("word"))
+    )
+    ranked = exact.withColumn("rk", rk)
+    joined = items.join(ranked, "word")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_returned"),
+        F.bool_and(
+            F.col("approx_count") == F.col("exact_count")
+        ).alias("counts_exact"),
+        F.bool_and(F.col("rk") <= 15).alias("within_rank_15"),
+    )
