@@ -11,7 +11,8 @@ result equals the batch computation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..streaming.events import (
     run_to_memory,
@@ -196,7 +197,7 @@ if _HAS_PROTOBUF:
         "q_stream_tws_user_stats",
         oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
     AS sum_value,
   epoch_us(MIN(ts)) AS first_us,
   epoch_us(MAX(ts)) AS last_us
@@ -208,14 +209,24 @@ GROUP BY user_id
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         """Typed ValueState per user holding (count, cents, first/last
-        micros). availableNow over one parquet file => one micro-batch,
-        so the final update per user equals the batch aggregate
-        (oracle-checkable); integer cents/micros accumulation keeps it
-        exact even when a replay splits into many micro-batches."""
+        micros). The memory sink appends one row per key per
+        micro-batch in update mode, so the result keeps only the LAST
+        update per user (``n_events`` strictly increases per update, so
+        max-``n_events`` is that final state) — correct whether
+        availableNow yields one micro-batch or many. Cents use explicit
+        half-up rounding, matching the oracle's ``floor(v*100+0.5)``."""
         name = _unique("stream_tws")
         run_to_memory(
             stream_user_stats_tws(spark, sf_dir),
             name,
             output_mode="update",
         )
-        return spark.table(name)
+        rk = F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        )
+        return (
+            spark.table(name)
+            .withColumn("_rk", rk)
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+        )

@@ -31,8 +31,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources.tables import load_table
 from .registry import query
@@ -315,8 +316,13 @@ def q_text_dup_5gram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    from pyspark.storagelevel import StorageLevel
-
+    # The exploded inverted index is persisted so the gram-count
+    # aggregate and the join-back share one expansion pass (2
+    # corpus-size scans -> 1). The persist is session-lived by design —
+    # this function returns a lazy plan, so it cannot unpersist before
+    # its own action runs. Harnesses sweeping many sf_dirs in one
+    # session should call ``spark.catalog.clearCache()`` between sweeps
+    # (same contract as ``q_docs_training_pipeline``).
     exploded = base.select(
         "doc_id", F.explode(g5).alias("gram")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -359,9 +365,10 @@ def q_text_dup_5gram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-(k+5) exact ranks (ties at the k boundary may swap set members).
 # --------------------------------------------------------------------------
 _TOPK_ORACLE = """
-SELECT CAST(10 AS BIGINT) AS n_returned,
+SELECT CAST(LEAST(10, COUNT(DISTINCT word)) AS BIGINT) AS n_returned,
   TRUE AS counts_exact,
   TRUE AS within_rank_15
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
 """
 
 
@@ -371,18 +378,22 @@ def q_text_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split("text", " ")).alias("word")
     )
-    topk = words.agg(F.expr("approx_top_k(word, 10)").alias("tk"))
+    # maxItemsTracked pinned to 100000 (default is 10000): counts stay
+    # EXACT as long as the vocabulary fits the tracker, and the corpus
+    # vocabulary is what the cross-engine n_returned ties the check to —
+    # a larger sf can't silently degrade the sketch under the oracle.
+    topk = words.agg(
+        F.expr("approx_top_k(word, 10, 100000)").alias("tk")
+    )
     items = topk.select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("word"),
         F.col("s.count").alias("approx_count"),
     )
-    from pyspark.sql import Window as W
-
     exact = words.groupBy("word").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
     rk = F.row_number().over(
-        W.orderBy(F.desc("exact_count"), F.asc("word"))
+        Window.orderBy(F.desc("exact_count"), F.asc("word"))
     )
     ranked = exact.withColumn("rk", rk)
     joined = items.join(ranked, "word")

@@ -213,7 +213,11 @@ def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Money is accumulated in integer cents and event times in integer
     micros, so the emitted doubles/strings are exact regardless of how
-    rows split across micro-batches."""
+    rows split across micro-batches. Cents use explicit half-up
+    rounding (``floor(v*100 + 0.5)``) — pandas ``.round()`` is
+    half-to-even while DuckDB/Spark ``round`` are half-away/half-up,
+    and the three must agree on .5 boundaries (repo invariant)."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming import StatefulProcessor
@@ -233,7 +237,9 @@ def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 cents += int(
-                    (pdf["value"] * 100).round().astype("int64").sum()
+                    np.floor(pdf["value"] * 100 + 0.5)
+                    .astype("int64")
+                    .sum()
                 )
                 ts = pdf["ts"]
                 if getattr(ts.dtype, "tz", None) is not None:

@@ -55,9 +55,9 @@ def test_tws_matches_batch_aggregate(spark):
         .agg(
             F.count(F.lit(1)).alias("n"),
             (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast(
-                    "double"
-                )
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("long")
+                ).cast("double")
                 / 100.0
             ).alias("s"),
             F.unix_micros(F.min("ts")).alias("f"),
