@@ -1,0 +1,105 @@
+"""Fused pyramid cascade vs the per-level store-read loop.
+
+The cascade (zarrio/pipeline.py: `_run_cascade`) computes every pyramid
+level inside ONE Spark job — the level-0 writer reduces each source
+block recursively and ships compressed partials through a single
+shuffle. It must be a pure optimization: for any shape / mode / depth
+the resulting store must be BYTE-identical to the sequential
+level-loop (which is itself golden-tested against the reference's
+downsample semantics), because the deterministic-shard-bytes guarantee
+(gzip mtime=0 / fixed zstd frames) is what makes re-runs idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pytest
+
+from aind_exaspim_data_transformation_spark.config import ConvertJobSettings
+import aind_exaspim_data_transformation_spark.zarrio.pipeline as pipeline
+
+
+def _tree_hash(root: str) -> dict[str, str]:
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    f.read()
+                ).hexdigest()
+    return out
+
+
+def _convert(spark, out, shape, mode, levels, force_loop):
+    orig = pipeline._cascade_divisible
+    if force_loop:
+        pipeline._cascade_divisible = lambda *a: False
+    try:
+        return pipeline.convert_to_zarr(
+            spark,
+            ConvertJobSettings(
+                input_source=f"synth://{shape},1",
+                output_location=out,
+                chunk_shape=(32, 32, 32),
+                shard_shape=(64, 64, 64),
+                translate_pyramid=False,
+                downsample_levels=levels,
+                downsample_mode=mode,
+                codec="zstd",
+                codec_level=3,
+            ),
+        )
+    finally:
+        pipeline._cascade_divisible = orig
+
+
+@pytest.mark.parametrize(
+    "shape,mode,levels",
+    [
+        ("300,260,200", "mean", 3),  # edge truncation on every axis
+        ("300,260,200", "max", 3),
+        ("256,256,256", "mean", 4),  # deeper than shard/f^2 alignment
+        ("130,70,50", "median", 2),  # sub-shard dims
+    ],
+)
+def test_cascade_matches_loop_bytes(spark, shape, mode, levels):
+    with tempfile.TemporaryDirectory() as tmp:
+        a = os.path.join(tmp, "cascade.zarr")
+        b = os.path.join(tmp, "loop.zarr")
+        ra = _convert(spark, a, shape, mode, levels, force_loop=False)
+        rb = _convert(spark, b, shape, mode, levels, force_loop=True)
+        assert _tree_hash(a) == _tree_hash(b)
+        # The cascade reports one stats stage per level, like the loop.
+        assert len(ra["stages"]) == len(rb["stages"]) == levels
+        for sa, sb in zip(ra["stages"], rb["stages"]):
+            assert sa["n_shards"] == sb["n_shards"]
+            assert sa["bytes_written"] == sb["bytes_written"]
+
+
+def test_cascade_used_for_pow2_grid(spark):
+    """The divisibility gate: 64^3 shards, factor 2, 3 levels -> fused;
+    a shard grid that can't hold factor^depth alignment -> loop."""
+    specs3 = {
+        0: type("S", (), {"shard_shape": (1, 1, 64, 64, 64)})(),
+    }
+    assert pipeline._cascade_divisible(specs3, (2, 2, 2), 3)
+    specs_odd = {
+        0: type("S", (), {"shard_shape": (1, 1, 48, 48, 48)})(),
+    }
+    assert not pipeline._cascade_divisible(specs_odd, (2, 2, 2), 6)
+    assert not pipeline._cascade_divisible(specs_odd, (3, 3, 3), 3)
+
+
+def test_cascade_idempotent_rerun(spark):
+    """Re-running the cascade over an existing store rewrites identical
+    bytes (the retry/speculation safety the loop path guarantees)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "s.zarr")
+        _convert(spark, out, "200,130,70", "mean", 3, force_loop=False)
+        h1 = _tree_hash(out)
+        _convert(spark, out, "200,130,70", "mean", 3, force_loop=False)
+        assert _tree_hash(out) == h1
