@@ -2,10 +2,12 @@
 frame-sample over opaque binary payloads (north-star surface).
 
 The Spark-side plumbing is real — schemas, Arrow batching via
-``mapInPandas``, partition behavior — while the actual media codecs are
-stubbed: the container has no image/audio libraries, so ``decode_media``
-raises ``NotImplementedError`` for real formats and a deterministic fake
-codec (``fake-rgb8``/``fake-pcm16``) exercises the full path in tests.
+``mapInPandas``, partition behavior — and so is image decode for PNG
+and BMP (pure-stdlib codecs in ``operators.media_codecs``). Formats
+that need external libraries (jpeg/wav/mp4) raise
+``NotImplementedError``; a deterministic fake codec
+(``fake-rgb8``/``fake-pcm16``) additionally exercises the full path in
+tests without any codec in the loop.
 
 Data model (SURVEY §1.4 generalized): one row per media item,
 ``payload BinaryType`` + typed metadata columns. Feature extraction
@@ -42,8 +44,18 @@ def encode_fake_rgb8(arr: np.ndarray) -> bytes:
 
 
 def decode_media(payload: bytes, media_format: str) -> np.ndarray:
-    """Decode one payload. Real codecs (jpeg/png/wav/mp4) are stubbed —
-    the container ships no media libraries; plug a decoder in here."""
+    """Decode one payload. PNG (8-bit grey/RGB) and BMP (24-bit) decode
+    for real via the pure-stdlib codecs in ``operators.media_codecs``;
+    formats needing external libraries (jpeg/wav/mp4) stay stubbed —
+    plug a decoder in here."""
+    if media_format == "png":
+        from .media_codecs import decode_png
+
+        return decode_png(payload)
+    if media_format == "bmp":
+        from .media_codecs import decode_bmp
+
+        return decode_bmp(payload)
     if media_format == FAKE_RGB8:
         h = int.from_bytes(payload[0:2], "little")
         w = int.from_bytes(payload[2:4], "little")

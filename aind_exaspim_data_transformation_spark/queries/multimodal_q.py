@@ -10,6 +10,11 @@ math the Zarr writer uses).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,6 +22,7 @@ from ..sources.tables import load_table
 from .registry import query
 
 CHUNK = 64  # bytes per chunk in the chunk-grid query
+IMG_H, IMG_W = 8, 10  # decode-stats image size (W=10 -> BMP row padding)
 
 
 # --------------------------------------------------------------------------
@@ -125,4 +131,103 @@ def q_multimodal_modality_stats(
             F.min("nb").alias("min_bytes"),
             F.max("nb").alias("max_bytes"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL image decode in the loop: each doc gets a deterministic 8x10 RGB
+# image (pixel values are a pure function of doc_id and position),
+# encoded to a real on-disk format — PNG for even doc_ids (cycling all
+# five row filters), BMP for odd (exercising row padding) — then DECODED
+# back via operators.media_codecs and aggregated. The DuckDB oracle
+# computes the identical stats straight from the pixel formula, so a
+# codec bug anywhere in encode OR decode breaks the cross-engine hash.
+# At 100 TB this is the map-only decode/feature shape: payload bytes
+# never shuffle; only fixed-width stats leave the partition.
+# --------------------------------------------------------------------------
+_DECODE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS media_format,
+    (doc_id * 7 + r * 3 + c * 5) % 256 AS vr,
+    (doc_id * 11 + r * 2 + c * 9 + 1) % 256 AS vg,
+    (doc_id * 13 + r * 4 + c * 7 + 2) % 256 AS vb
+  FROM documents, range(0, {IMG_H}) t1(r), range(0, {IMG_W}) t2(c))
+SELECT doc_id, media_format,
+  {IMG_H} AS height, {IMG_W} AS width,
+  CAST(SUM(vr) AS BIGINT) AS sum_r,
+  CAST(SUM(vg) AS BIGINT) AS sum_g,
+  CAST(SUM(vb) AS BIGINT) AS sum_b,
+  CAST(SUM(vr) AS DOUBLE) / {IMG_H * IMG_W} AS mean_r
+FROM px GROUP BY doc_id, media_format
+"""
+
+
+@query("q_multimodal_image_decode_stats", oracle=_DECODE_ORACLE)
+def q_multimodal_image_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.media_codecs import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr = np.arange(IMG_H, dtype=np.int64)[:, None]
+        cc = np.arange(IMG_W, dtype=np.int64)[None, :]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = np.stack(
+                    [
+                        (d * 7 + rr * 3 + cc * 5) % 256,
+                        (d * 11 + rr * 2 + cc * 9 + 1) % 256,
+                        (d * 13 + rr * 4 + cc * 7 + 2) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                if d % 2 == 0:
+                    decoded = decode_png(encode_png(img, filter_cycle=5))
+                    fmt = "png"
+                else:
+                    decoded = decode_bmp(encode_bmp(img))
+                    fmt = "bmp"
+                sums = decoded.reshape(-1, 3).sum(
+                    axis=0, dtype=np.int64
+                )
+                out.append(
+                    (
+                        d,
+                        fmt,
+                        decoded.shape[0],
+                        decoded.shape[1],
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        float(sums[0]) / (IMG_H * IMG_W),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_format",
+                    "height",
+                    "width",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "mean_r",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, media_format string, height int, width int, "
+        "sum_r long, sum_g long, sum_b long, mean_r double",
     )
