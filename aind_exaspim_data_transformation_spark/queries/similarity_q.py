@@ -1,15 +1,16 @@
 """Similarity search over the ``embeddings`` table (north-star surface).
 
-Brute-force cosine top-k as the correctness baseline, plus the scale path:
-random-hyperplane LSH bucketing (deterministic planes derived from md5) and
-bucket-restricted ANN. Dot products use double-precision folds; similarity
-is rounded to 6 decimals before ranking so both engines pick identical
-top-k sets.
+Brute-force cosine top-k as the correctness baseline, plus three scale
+paths with tested recall (tests/test_ann_recall.py): multi-table
+random-hyperplane LSH (md5-derived planes), IVF over the k-means
+clusters with nprobe, and PQ with an ADC shortlist + exact rerank.
+Dot products use double-precision folds; similarity is rounded to 6
+decimals before ranking so both engines pick identical top-k sets.
 
 Scale notes: brute-force is a broadcast join of the (tiny) query set
 against the candidate table — O(Q x N) map-side, no shuffle of the big
-side. The LSH path shuffles once on the bucket key; per-bucket fan-out is
-N/256 in expectation.
+side. The ANN paths shuffle only on bucket/cluster/code keys and touch
+a bounded candidate fraction of the corpus.
 """
 
 from __future__ import annotations
@@ -229,25 +230,55 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN via LSH: search only the query's bucket, cosine within it, top-3.
+# ANN via multi-table LSH: _ANN_T independent hash tables of _ANN_B
+# hyperplanes each (16 buckets/table), candidates = union of the
+# query's bucket-mates across tables, exact cosine over the candidate
+# set, top-3. A single 8-plane table has ~2 vectors/bucket at sf0.001
+# and near-zero recall; the multi-table union is the standard
+# recall/cost dial (measured recall@3 vs brute force is pinned in
+# tests/test_ann_recall.py). At 100 TB: codes are map-only, the
+# candidate join is bucketed on (table, code), and only candidate IDs
+# — never the vector table — hit the pairwise stage.
 # --------------------------------------------------------------------------
+_ANN_T = 10  # hash tables
+_ANN_B = 4  # hyperplanes per table
+
+_PLANE3_COMP = (
+    "(CASE WHEN substr(md5(concat(CAST(t AS STRING), ',', "
+    "CAST(p AS STRING), ',', CAST(i AS STRING))), 1, 1) IN "
+    "('1','3','5','7','9','b','d','f') THEN 1.0 ELSE -1.0 END)"
+)
+_PLANE3_DUCK = _PLANE3_COMP.replace("AS STRING", "AS VARCHAR")
+
+
 @query(
     "q_ann_lsh",
-    oracle=_LSH_BUCKET_SQL
-    + f"""
-, q AS (
-  SELECT b.vec_id AS qid, b.bucket, e.embedding AS qe
-  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id
-  WHERE b.vec_id < 5),
-c AS (
-  SELECT b.vec_id AS cid, b.bucket, e.embedding AS ce
-  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id),
+    oracle=f"""
+WITH planes AS (
+  SELECT t, p, i, {_PLANE3_DUCK} AS comp
+  FROM range(0, {_ANN_T}) t1(t) CROSS JOIN range(0, {_ANN_B}) t2(p)
+       CROSS JOIN range(1, 65) t3(i)),
+comps AS (
+  SELECT e.vec_id, pl.t, pl.p,
+    SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.comp) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t, pl.p),
+codes AS (
+  SELECT vec_id, t,
+    CAST(SUM(CASE WHEN dot > 0 THEN power(2, p) ELSE 0 END) AS BIGINT)
+      AS code
+  FROM comps GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+  FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
 scored AS (
-  SELECT qid, cid,
-    round({_SQL_DOT.format(a="qe", b="ce")}
-      / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6)
-      AS cos_sim
-  FROM q JOIN c ON q.bucket = c.bucket AND qid <> cid)
+  SELECT cand.qid, cand.cid,
+    round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / ({_SQL_NORM.format(a="a.embedding")}
+         * {_SQL_NORM.format(a="b.embedding")}), 6) AS cos_sim
+  FROM cand JOIN embeddings a ON cand.qid = a.vec_id
+            JOIN embeddings b ON cand.cid = b.vec_id)
 SELECT qid, cid, cos_sim
 FROM (SELECT qid, cid, cos_sim,
         ROW_NUMBER() OVER (PARTITION BY qid
@@ -258,27 +289,54 @@ WHERE rn <= 3
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = _lsh_buckets(spark, sf_dir)
-    with_b = emb.join(buckets, "vec_id")
-    q = with_b.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"),
-        F.col("bucket"),
-        F.col("embedding").alias("qe"),
+    planes = (
+        spark.range(_ANN_T)
+        .select(F.col("id").alias("t"))
+        .crossJoin(spark.range(_ANN_B).select(F.col("id").alias("p")))
+        .crossJoin(spark.range(1, 65).select(F.col("id").alias("i")))
+        .select("t", "p", "i", F.expr(_PLANE3_COMP).alias("comp"))
     )
-    c = with_b.select(
-        F.col("vec_id").alias("cid"),
-        F.col("bucket").alias("cbucket"),
-        F.col("embedding").alias("ce"),
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+    comps = (
+        exploded.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "p")
+        .agg(F.sum(F.col("v").cast("double") * F.col("comp")).alias("dot"))
+    )
+    codes = comps.groupBy("vec_id", "t").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p")))
+            .otherwise(0.0)
+        )
+        .cast("long")
+        .alias("code")
+    )
+    qcodes = codes.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "t", "code"
+    )
+    cand = (
+        F.broadcast(qcodes)
+        .join(codes, ["t", "code"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     scored = (
-        F.broadcast(q)
-        .join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("qid") != F.col("cid")))
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
         .select(
             "qid",
             "cid",
-            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
@@ -289,114 +347,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# IVF coarse quantization: per-label centroids as the codebook, every
-# vector assigned to its nearest centroid (argmin L2, deterministic
-# tie-break), then ANN probes only the query's cluster. The standard
-# two-level index: at 100 TB the assignment is one broadcast join of a
-# tiny codebook against the vector table, and search touches 1/k of it.
-# --------------------------------------------------------------------------
-_IVF_SQL = """
-WITH cent AS (
-  SELECT label, i AS dim,
-    SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*) AS c
-  FROM embeddings, range(1, 65) t(i)
-  GROUP BY label, i),
-dist AS (
-  SELECT e.vec_id, cent.label,
-    round(SUM(power(CAST(e.embedding[cent.dim] AS DOUBLE) - cent.c, 2)), 6)
-      AS d2
-  FROM embeddings e CROSS JOIN cent
-  GROUP BY e.vec_id, cent.label),
-assign AS (
-  SELECT vec_id, label AS cluster
-  FROM (SELECT vec_id, label, d2,
-          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
-        FROM dist)
-  WHERE rn = 1)
-"""
-
-
-@query(
-    "q_ann_ivf",
-    oracle=_IVF_SQL
-    + f"""
-, q AS (
-  SELECT a.vec_id AS qid, a.cluster, e.embedding AS qe
-  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
-  WHERE a.vec_id < 5),
-c AS (
-  SELECT a.vec_id AS cid, a.cluster, e.embedding AS ce
-  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
-scored AS (
-  SELECT qid, cid,
-    round({_SQL_DOT.format(a="qe", b="ce")}
-      / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6)
-      AS cos_sim
-  FROM q JOIN c ON q.cluster = c.cluster AND qid <> cid)
-SELECT qid, cid, cos_sim
-FROM (SELECT qid, cid, cos_sim,
-        ROW_NUMBER() OVER (PARTITION BY qid
-                           ORDER BY cos_sim DESC, cid) AS rn
-      FROM scored)
-WHERE rn <= 3
-""",
-)
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id", "label", (F.col("pos") + 1).alias("dim"),
-        F.col("v").cast("double").alias("v"),
-    )
-    cent = exploded.groupBy(F.col("label").alias("clabel"), "dim").agg(
-        (F.sum("v") / F.count(F.lit(1))).alias("c")
-    )
-    dist = (
-        exploded.drop("label")
-        .join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "clabel")
-        .agg(F.round(F.sum(F.pow(F.col("v") - F.col("c"), 2)), 6).alias("d2"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    assign = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cluster"))
-    )
-    with_cluster = emb.join(assign, "vec_id").cache()
-    q = with_cluster.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"),
-        F.col("cluster"),
-        F.col("embedding").alias("qe"),
-    )
-    c = with_cluster.select(
-        F.col("vec_id").alias("cid"),
-        F.col("cluster").alias("ccluster"),
-        F.col("embedding").alias("ce"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("cluster") == F.col("ccluster"))
-            & (F.col("qid") != F.col("cid")),
-        )
-        .select(
-            "qid",
-            "cid",
-            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= 3)
-        .select("qid", "cid", "cos_sim")
-    )
+# (q_ann_ivf lives after the k-means section below — its coarse
+# quantizer reuses the Lloyd's-iteration CTE chain / helpers.)
 
 
 # --------------------------------------------------------------------------
@@ -479,6 +431,10 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8
 _PQ_D = 8  # dims per subspace (embedding dim 64 = _PQ_M * _PQ_D)
 _PQ_K = 16
+_PQ_R = 25  # ADC shortlist size before exact rerank (the recall dial:
+# ADC alone over a 16-centroid codebook is too lossy for top-3 — the
+# shortlist+rerank is how production PQ search recovers recall while
+# the exact pass touches only R candidates per query)
 
 _PQ_SUB_D2 = (
     "list_sum(list_transform(range(1, {d} + 1), "
@@ -518,12 +474,26 @@ adc AS (
     round(list_sum(list(l.qd2 ORDER BY l.m)), 6) AS approx_d2
   FROM enc e JOIN lut l ON e.m = l.m AND e.k = l.k
   WHERE l.qid <> e.vec_id
-  GROUP BY l.qid, e.vec_id)
-SELECT qid, cid, approx_d2
-FROM (SELECT qid, cid, approx_d2,
+  GROUP BY l.qid, e.vec_id),
+shortlist AS (
+  SELECT qid, cid
+  FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY approx_d2, cid) AS rn
+        FROM adc)
+  WHERE rn <= {_PQ_R}),
+reranked AS (
+  SELECT s.qid, s.cid,
+    round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / ({_SQL_NORM.format(a="a.embedding")}
+         * {_SQL_NORM.format(a="b.embedding")}), 6) AS cos_sim
+  FROM shortlist s JOIN embeddings a ON s.qid = a.vec_id
+                   JOIN embeddings b ON s.cid = b.vec_id)
+SELECT qid, cid, cos_sim
+FROM (SELECT qid, cid, cos_sim,
         ROW_NUMBER() OVER (PARTITION BY qid
-                           ORDER BY approx_d2, cid) AS rn
-      FROM adc)
+                           ORDER BY cos_sim DESC, cid) AS rn
+      FROM reranked)
 WHERE rn <= 3
 """
 
@@ -600,11 +570,36 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_d2")
         )
     )
-    w_top = Window.partitionBy("qid").orderBy("approx_d2", "cid")
+    w_sl = Window.partitionBy("qid").orderBy("approx_d2", "cid")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_sl))
+        .where(F.col("rn") <= _PQ_R)
+        .select("qid", "cid")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    reranked = (
+        shortlist.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                _dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("cid")
+    )
     return (
-        adc.withColumn("rn", F.row_number().over(w_top))
+        reranked.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= 3)
-        .select("qid", "cid", "approx_d2")
+        .select("qid", "cid", "cos_sim")
     )
 
 
@@ -637,7 +632,10 @@ _KM_D2 = (
 ).format(dim=_KM_DIM)
 
 
-def _km_oracle() -> str:
+def _km_cte_chain() -> tuple[str, str]:
+    """(CTE chain ending with ``afinal``, name of the final centroid
+    CTE) — shared by the k-means query and the IVF index that reuses
+    its geometric clusters as the coarse quantizer."""
     parts = [
         f"""
 vecs AS (
@@ -677,9 +675,14 @@ afinal AS (
     FROM vecs CROSS JOIN {prev})
   WHERE rn = 1)"""
     )
+    return ",".join(parts), prev
+
+
+def _km_oracle() -> str:
+    chain, prev = _km_cte_chain()
     return (
         "WITH "
-        + ",".join(parts)
+        + chain
         + f"""
 SELECT a.k, COUNT(*) AS n_members,
   CAST(MIN(a.vec_id) AS BIGINT) AS min_vec,
@@ -710,13 +713,10 @@ def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@query("q_kmeans_embeddings", oracle=_km_oracle())
-def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+def _km_centroids(vecs: DataFrame) -> DataFrame:
+    """_KM_ITERS Lloyd iterations from the first-_KM_K seed; returns the
+    final (k, c double[64]) centroid relation (lazy — iterations chain
+    into one plan)."""
     cents = vecs.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("k"), F.col("v").alias("c")
     )
@@ -743,6 +743,17 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["c"],
             ).alias("c")
         )
+    return cents
+
+
+@query("q_kmeans_embeddings", oracle=_km_oracle())
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _km_centroids(vecs)
     final = _km_assign(vecs, cents)
     norms = cents.select(
         "k",
@@ -762,4 +773,109 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(norms), "k")
         .select("k", "n_members", "min_vec", "centroid_norm")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN via IVF over the k-means clusters: the Lloyd's centroids above are
+# the coarse quantizer (geometric clusters — the embeddings' `label`
+# column does NOT correlate with cosine geometry, so label-centroid
+# probing has ~zero recall), every vector is assigned to its nearest
+# centroid, and each query probes its _IVF_NPROBE nearest clusters
+# before an exact rerank inside them. Measured recall@3 vs brute force
+# is pinned in tests/test_ann_recall.py. At 100 TB: the codebook
+# broadcasts (K x 64 doubles), assignment is map-only, and search
+# touches ~nprobe/K of the corpus.
+# --------------------------------------------------------------------------
+_IVF_NPROBE = 3
+
+
+def _ivf_oracle() -> str:
+    chain, prev = _km_cte_chain()
+    return (
+        "WITH "
+        + chain
+        + f""",
+qprobe AS (
+  SELECT vec_id AS qid, k AS cluster
+  FROM (SELECT vecs.vec_id, {prev}.k,
+          ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                             ORDER BY {_KM_D2}, {prev}.k) AS rn
+        FROM vecs CROSS JOIN {prev}
+        WHERE vecs.vec_id < 5)
+  WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT qp.qid, asgn.vec_id AS cid
+  FROM qprobe qp JOIN afinal asgn ON asgn.k = qp.cluster
+  WHERE asgn.vec_id <> qp.qid),
+scored AS (
+  SELECT cand.qid, cand.cid,
+    round({_SQL_DOT.format(a="qa.embedding", b="cb.embedding")}
+      / ({_SQL_NORM.format(a="qa.embedding")}
+         * {_SQL_NORM.format(a="cb.embedding")}), 6) AS cos_sim
+  FROM cand JOIN embeddings qa ON cand.qid = qa.vec_id
+            JOIN embeddings cb ON cand.cid = cb.vec_id)
+SELECT qid, cid, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored)
+WHERE rn <= 3"""
+    )
+
+
+@query("q_ann_ivf", oracle=_ivf_oracle())
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _km_centroids(vecs)
+    assign = _km_assign(vecs, cents)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "k")
+    probes = (
+        vecs.where(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("qid"), "k", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", F.col("k").alias("cluster"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, probes["cluster"] == assign["k"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                _dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "cid", "cos_sim")
     )
