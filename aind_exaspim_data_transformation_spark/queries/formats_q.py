@@ -9,9 +9,10 @@ a pushed-down filter, and aggregates — DuckDB recomputes the expected
 result straight from the parquet view, so any encode/decode divergence
 in the ORC round trip breaks the hash.
 
-(Avro is an external Spark module not bundled in this container; the
-gap is environmental, not architectural — the same write/read/aggregate
-shape applies.)
+(Avro: the external ``spark-avro`` jar is not bundled, so the round
+trip goes through the ``pyavro`` Python DataSource backed by the
+from-spec container codec in ``sources/avroio.py`` — same
+write/read/aggregate shape, real Avro bytes on disk.)
 
 Contract note: calling a round-trip query function performs the format
 WRITE eagerly (the write is half of the operator under test); only the
@@ -126,4 +127,56 @@ def q_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Avro round trip via the pyavro Python DataSource (sources/avroio.py:
+# from-spec container codec; sources/avro_datasource.py: Catalyst
+# integration). Real Avro bytes land on disk (deflate codec) and come
+# back through a file-per-task scan; DuckDB recomputes the aggregate
+# from the parquet view, so an encode/decode bug anywhere breaks the
+# hash.
+# --------------------------------------------------------------------------
+_AVRO_ORACLE = """
+SELECT lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+  md5(string_agg(text, '' ORDER BY doc_id)) AS corpus_digest
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("q_avro_roundtrip_agg", oracle=_AVRO_ORACLE)
+def q_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> Avro container files (deflate) -> scan -> aggregate
+    incl. an order-pinned corpus digest, so every byte of every string
+    must survive the round trip, not just the counts."""
+    from ..sources.avro_datasource import AvroDataSource
+
+    spark.dataSource.register(AvroDataSource)
+    avro_dir = _staging_dir("avro_documents", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.write.format("pyavro").mode("overwrite").save(avro_dir)
+    back = spark.read.format("pyavro").load(avro_dir)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.md5(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                F.lit(""),
+                lambda acc, t: F.concat(acc, t),
+            ).cast("binary")
+        ).alias("corpus_digest"),
     )

@@ -1,0 +1,207 @@
+"""``spark.read.format("pyavro")`` / ``df.write.format("pyavro")`` — a
+Python DataSource over Avro Object Container Files, backed by the
+from-spec codec in ``sources/avroio.py``.
+
+Closes the one mainstream-format gap left by the missing external
+``spark-avro`` jar: Avro-resident feeds scan straight into Catalyst
+(one input partition per ``.avro`` file, the format's natural split
+unit — Avro splits on sync markers, and one-file-per-task is the
+degenerate-but-correct split every container writer produces anyway),
+and DataFrames write back as standard container files any Avro reader
+accepts.
+
+Usage::
+
+    spark.dataSource.register(AvroDataSource)
+    df.write.format("pyavro").mode("overwrite").save(path)
+    back = spark.read.format("pyavro").load(path)   # schema from files
+
+At 100 TB: the scan parallelism is the file count (Avro lakes are
+many-file by construction), pruning/filtering happen in Catalyst above
+the source, and the writer emits one container per task with a
+deterministic sync marker — idempotent under task retry like every
+sink in this repo.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "binary": "bytes",
+    "boolean": "boolean",
+}
+_AVRO_TO_SPARK = {
+    "long": LongType(),
+    "int": IntegerType(),
+    "double": DoubleType(),
+    "float": FloatType(),
+    "string": StringType(),
+    "bytes": BinaryType(),
+    "boolean": BooleanType(),
+}
+
+
+def spark_schema_to_avro(schema: StructType, name: str = "row") -> dict:
+    fields = []
+    for f in schema.fields:
+        type_name = f.dataType.typeName()
+        if type_name not in _SPARK_TO_AVRO:
+            raise ValueError(
+                f"pyavro: unsupported Spark type {type_name!r} for "
+                f"field {f.name!r}"
+            )
+        avro_t = _SPARK_TO_AVRO[type_name]
+        fields.append(
+            {
+                "name": f.name,
+                "type": ["null", avro_t] if f.nullable else avro_t,
+            }
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def avro_schema_to_spark(schema: dict) -> StructType:
+    fields = []
+    for f in schema["fields"]:
+        typ = f["type"]
+        if isinstance(typ, list):
+            other = typ[0] if typ[1] == "null" else typ[1]
+            fields.append(
+                StructField(f["name"], _AVRO_TO_SPARK[other], True)
+            )
+        else:
+            fields.append(
+                StructField(f["name"], _AVRO_TO_SPARK[typ], False)
+            )
+    return StructType(fields)
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".avro")
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _AvroReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro requires a load path")
+
+    def partitions(self):
+        files = _avro_files(self.path)
+        if not files:
+            raise ValueError(f"pyavro: no .avro files under {self.path}")
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        from .avroio import read_container
+
+        yield from read_container(partition.path)
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class _AvroWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro requires a save path")
+        self.codec = options.get("codec", "deflate")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        from .avroio import write_container
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        avro_schema = spark_schema_to_avro(self.schema)
+        names = [f.name for f in self.schema.fields]
+        out = os.path.join(self.path, f"part-{pid:05d}.avro")
+        n = write_container(
+            out,
+            avro_schema,
+            (tuple(row[c] for c in names) for row in iterator),
+            codec=self.codec,
+            sync_seed=f"part-{pid}",
+        )
+        return _Committed(out, n)
+
+    def commit(self, messages):
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages):
+        pass
+
+
+class AvroDataSource(DataSource):
+    """Avro container files as a Spark source AND sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def schema(self):
+        from .avroio import read_header
+
+        files = _avro_files(self.options.get("path", ""))
+        if not files:
+            raise ValueError("pyavro: cannot infer schema (no files)")
+        schema, _, _, _ = read_header(files[0])
+        return avro_schema_to_spark(schema)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _AvroReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        # Driver-side overwrite cleanup (write() runs on executors).
+        path = self.options.get("path")
+        if overwrite and path and os.path.isdir(path):
+            for name in os.listdir(path):
+                if name.endswith(".avro") or name == "_SUCCESS":
+                    os.unlink(os.path.join(path, name))
+        return _AvroWriter(self.options, schema, overwrite)

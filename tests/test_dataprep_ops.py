@@ -79,7 +79,7 @@ def test_ann_pq_topk_shape(spark):
     by_q: dict[int, list] = {}
     for r in rows:
         by_q.setdefault(r["qid"], []).append(r)
-        assert r["approx_d2"] >= 0.0
+        assert -1.0 <= r["cos_sim"] <= 1.0
         assert r["qid"] != r["cid"]
     assert set(by_q) == {0, 1, 2}
     assert all(len(v) == 3 for v in by_q.values())
