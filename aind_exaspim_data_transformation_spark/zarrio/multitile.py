@@ -39,6 +39,8 @@ from .pipeline import (
     _level_specs,
     _pad_to_shard,
     _read_reduced_region,
+    _split_rows,
+    _unpack_payload,
     iter_coalesced_reads,
 )
 
@@ -71,6 +73,233 @@ DS_TASK_SCHEMA = (
     "dtype string, codec string, codec_level int, transpose string, "
     "superchunk string"
 )
+
+
+#: Cascade rows for the fused multi-tile computed pyramid: 'stats' rows
+#: are per-shard write records (tile_path set so level-0 stats keep their
+#: per-tile grouping), 'part' rows carry a compressed reduced piece
+#: routed to (store, level, shard index).
+MT_CASCADE_SCHEMA = (
+    "kind string, tile_path string, store string, level int, "
+    "iz int, iy int, ix int, "
+    "bytes_read long, bytes_written long, elapsed double, checksum long, "
+    "oz int, oy int, ox int, sz int, sy int, sx int, payload binary"
+)
+
+MT_CASCADE_COLS = [
+    "kind",
+    "tile_path",
+    "store",
+    "level",
+    "iz",
+    "iy",
+    "ix",
+    "bytes_read",
+    "bytes_written",
+    "elapsed",
+    "checksum",
+    "oz",
+    "oy",
+    "ox",
+    "sz",
+    "sy",
+    "sx",
+    "payload",
+]
+
+
+def _mt_cascade_applicable(
+    all_specs: dict[str, dict[int, ShardSpec]],
+    factor: tuple[int, int, int],
+) -> bool:
+    """Fused cascade needs EVERY tile's level-0 shard grid to divide
+    factor^(n_levels-1) (same alignment argument as the single-tile
+    `_cascade_divisible`); mixed grids fall back to the level loop."""
+    for specs in all_specs.values():
+        n_levels = len(specs)
+        if n_levels < 2:
+            return False
+        shard0 = specs[0].shard_shape[2:]
+        if any(s % f ** (n_levels - 1) != 0 for s, f in zip(shard0, factor)):
+            return False
+    return True
+
+
+def _make_global_fused_writer(
+    factor: tuple[int, int, int], mode: str, n_levels: int
+):
+    """Self-describing fused copy writer: identical to `_global_writer`
+    plus the recursive per-level reduce of each level-0 block while it
+    is in memory, emitting compressed 'part' rows routed by store —
+    the multi-tile twin of the single-tile cascade (pipeline.py:
+    `_make_fused_copy_writer`). Child shard shapes come from each
+    store's own zarr.json, read once per (store, level) per worker."""
+    from .format import read_array_metadata
+
+    from ..operators.downsample import downsample_block
+
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sources: dict[str, object] = {}
+        child_shard: dict[tuple[str, int], tuple[int, int, int]] = {}
+
+        def read_fn(row, z0, z1, y0, y1, x0, x1):
+            src = sources.get(row.tile_path)
+            if src is None:
+                src = sources[row.tile_path] = open_source(row.tile_path)
+            return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+
+        for pdf in batches:
+            out = []
+            for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
+                t0 = time.monotonic()
+                spec = ShardSpec(
+                    shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
+                    shard_shape=(
+                        1, 1, row.shard_z, row.shard_y, row.shard_x,
+                    ),
+                    chunk_shape=(
+                        1, 1, row.chunk_z, row.chunk_y, row.chunk_x,
+                    ),
+                    dtype=row.dtype,
+                    codec=row.codec,
+                    codec_level=row.codec_level,
+                    transpose_order=row.transpose or None,
+                )
+                blob = encode_shard(_pad_to_shard(block, spec), spec)
+                write_shard_file(
+                    row.store, 0, (0, 0, row.iz, row.iy, row.ix), blob
+                )
+                red = block
+                origin = (row.z0, row.y0, row.x0)
+                for lvl_to in range(1, n_levels):
+                    red = downsample_block(red, factor, mode)
+                    origin = tuple(
+                        o // f for o, f in zip(origin, factor)
+                    )
+                    key = (row.store, lvl_to)
+                    cs = child_shard.get(key)
+                    if cs is None:
+                        cs = child_shard[key] = read_array_metadata(
+                            row.store, lvl_to
+                        ).shard_shape[2:]
+                    for part in _split_rows(red, origin, lvl_to, cs):
+                        # part = (kind, level, iz, iy, ix, 4x stats-None,
+                        #         oz, oy, ox, sz, sy, sx, payload)
+                        out.append(
+                            (
+                                "part",
+                                None,
+                                row.store,
+                                part[1],
+                                part[2],
+                                part[3],
+                                part[4],
+                                None,
+                                None,
+                                None,
+                                None,
+                                *part[9:],
+                            )
+                        )
+                out.append(
+                    (
+                        "stats",
+                        row.tile_path,
+                        row.store,
+                        0,
+                        row.iz,
+                        row.iy,
+                        row.ix,
+                        block.nbytes,
+                        len(blob),
+                        read_sec + time.monotonic() - t0,
+                        zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                    )
+                )
+            yield pd.DataFrame(out, columns=MT_CASCADE_COLS)
+        for s in sources.values():
+            s.close()
+
+    return writer
+
+
+def _make_global_assembler():
+    """Grouped assembler for the multi-tile cascade: each 'part' group
+    is one (store, level, shard) — place pieces, encode with the
+    store's own spec, write, emit a stats row. 'stats' groups pass
+    through. Specs cache per (store, level) across groups within a
+    worker."""
+    from .format import read_array_metadata
+
+    specs_cache: dict[tuple[str, int], ShardSpec] = {}
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.iloc[0]["kind"] == "stats":
+            return pdf
+        t0 = time.monotonic()
+        first = pdf.iloc[0]
+        store, lvl = first["store"], int(first["level"])
+        iz, iy, ix = int(first["iz"]), int(first["iy"]), int(first["ix"])
+        key = (store, lvl)
+        spec = specs_cache.get(key)
+        if spec is None:
+            spec = specs_cache[key] = read_array_metadata(store, lvl)
+        cs = spec.shard_shape[2:]
+        dims = spec.shape[2:]
+        start = (iz * cs[0], iy * cs[1], ix * cs[2])
+        valid = tuple(min(c, d - s) for c, d, s in zip(cs, dims, start))
+        block = np.full(valid, spec.fill_value, dtype=spec.np_dtype)
+        nread = 0
+        for r in pdf.itertuples(index=False):
+            raw = _unpack_payload(
+                r.payload,
+                int(r.sz) * int(r.sy) * int(r.sx) * spec.np_dtype.itemsize,
+            )
+            piece = np.frombuffer(raw, dtype=spec.np_dtype).reshape(
+                r.sz, r.sy, r.sx
+            )
+            block[
+                r.oz : r.oz + r.sz,
+                r.oy : r.oy + r.sy,
+                r.ox : r.ox + r.sx,
+            ] = piece
+            nread += len(r.payload)
+        blob = encode_shard(_pad_to_shard(block, spec), spec)
+        write_shard_file(store, lvl, (0, 0, iz, iy, ix), blob)
+        return pd.DataFrame(
+            [
+                (
+                    "stats",
+                    None,
+                    store,
+                    lvl,
+                    iz,
+                    iy,
+                    ix,
+                    nread,
+                    len(blob),
+                    time.monotonic() - t0,
+                    zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                )
+            ],
+            columns=MT_CASCADE_COLS,
+        )
+
+    return assemble
 
 
 def build_global_tasks(
@@ -257,6 +486,79 @@ def convert_tiles_to_zarr(
     n_parts = max(
         spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
     )
+    compute_pyramid = not settings.translate_pyramid
+    if compute_pyramid and _mt_cascade_applicable(
+        all_specs, settings.scale_factor
+    ):
+        # Fused cascade: the WHOLE dataset — every tile, every pyramid
+        # level — is ONE Spark job. Level-0 writes emit per-level
+        # compressed reduced partials routed by (store, level, shard);
+        # one shuffle assembles all deeper levels of all tiles. No
+        # store re-read, and the job count is 1 regardless of tile
+        # count or depth (the loop path schedules 1 + (L-1) actions).
+        n_levels = max(len(s) for s in all_specs.values())
+        df = tasks.repartition(n_parts, "superchunk").mapInPandas(
+            _make_global_fused_writer(
+                settings.scale_factor,
+                settings.downsample_mode,
+                n_levels,
+            ),
+            MT_CASCADE_SCHEMA,
+        )
+        df = df.groupBy(
+            "kind", "store", "level", "iz", "iy", "ix"
+        ).applyInPandas(_make_global_assembler(), MT_CASCADE_SCHEMA)
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = spark.conf.get(coalesce_key, "true")
+        spark.conf.set(coalesce_key, "false")
+        try:
+            rows = (
+                df.where(F.col("kind") == "stats")
+                .groupBy("tile_path", "level")
+                .agg(
+                    F.count(F.lit(1)).alias("n_shards"),
+                    F.sum("bytes_read").alias("bytes_read"),
+                    F.sum("bytes_written").alias("bytes_written"),
+                    F.sum("elapsed").alias("task_seconds"),
+                )
+                .collect()
+            )
+        finally:
+            spark.conf.set(coalesce_key, prev)
+        per_tile = {
+            r["tile_path"]: {
+                k: v
+                for k, v in r.asDict().items()
+                if k not in ("tile_path", "level")
+            }
+            for r in rows
+            if r["level"] == 0
+        }
+        stages = sorted(
+            (
+                {
+                    **{
+                        k: v
+                        for k, v in r.asDict().items()
+                        if k not in ("tile_path",)
+                    },
+                }
+                for r in rows
+                if r["level"] > 0
+            ),
+            key=lambda d: d["level"],
+        )
+        return {
+            "n_tiles": len(tiles),
+            "n_shards": sum(r["n_shards"] for r in per_tile.values()),
+            "bytes_read": sum(r["bytes_read"] for r in per_tile.values()),
+            "bytes_written": sum(
+                r["bytes_written"] for r in per_tile.values()
+            ),
+            "tiles": per_tile,
+            "downsample_stages": stages,
+        }
+
     stats = (
         tasks.repartition(n_parts, "superchunk")
         .mapInPandas(_global_writer, STATS_SCHEMA)
@@ -278,12 +580,13 @@ def convert_tiles_to_zarr(
         "tiles": per_tile,
     }
 
-    if not settings.translate_pyramid:
-        # Computed pyramid levels: level k depends on k-1 (reference A2),
-        # so levels run sequentially — but within a level EVERY tile's
-        # shards go into ONE store-routed Spark action. Job count per
-        # level is therefore independent of the tile count (a 100-tile
-        # dataset schedules L-1 actions, not 100*(L-1)).
+    if compute_pyramid:
+        # Fallback for factor^depth-indivisible shard grids: computed
+        # pyramid levels run sequentially (level k depends on k-1,
+        # reference A2) — but within a level EVERY tile's shards go
+        # into ONE store-routed Spark action. Job count per level is
+        # therefore independent of the tile count (a 100-tile dataset
+        # schedules L-1 actions, not 100*(L-1)).
         result["downsample_stages"] = _run_downsample_levels(
             spark, tiles, all_specs, settings
         )
@@ -462,8 +765,12 @@ def _run_downsample_levels(
     for lvl in range(1, n_levels):
         rows = _build_downsample_tasks(tiles, all_specs, settings, lvl)
         tasks = spark.createDataFrame(rows, DS_TASK_SCHEMA)
+        # Shard-coord partitioning: the downsample writer reads the
+        # STORE, not the source, so there is nothing for superchunk
+        # grouping to coalesce — it would only collapse parallelism at
+        # the small deep levels.
         stats = (
-            tasks.repartition(n_parts, "superchunk")
+            tasks.repartition(n_parts, "store", "iz", "iy", "ix")
             .mapInPandas(writer, STATS_SCHEMA)
             .agg(
                 F.count(F.lit(1)).alias("n_shards"),

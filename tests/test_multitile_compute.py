@@ -63,47 +63,63 @@ def test_shard_mode_computed_pyramid(spark, tmp_path):
         np.testing.assert_array_equal(got2, want2)
 
 
-def test_spark_job_count_is_one_action_per_level(spark, tmp_path):
+def test_spark_job_count_contracts(spark, tmp_path, monkeypatch):
     """Listener-counted contract for the 100-tile claim: 32 tiles with a
-    3-level computed pyramid run exactly 1 + (levels-1) = 3 Spark jobs —
-    job count independent of tile count. AQE is disabled for the
+    3-level computed pyramid run as ONE Spark job through the fused
+    cascade (job count independent of tile count AND depth); the
+    factor^depth-indivisible fallback runs 1 + (levels-1) jobs (job
+    count independent of tile count). AQE is disabled for the
     measurement so one action maps to one Spark job (AQE materializes
     shuffle stages as extra jobs; it changes scheduling, not the action
     count)."""
+    import aind_exaspim_data_transformation_spark.zarrio.multitile as mt
+
     sc = spark.sparkContext
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     rng = np.random.default_rng(11)
-    tiles = []
-    for i in range(32):
-        arr = rng.integers(0, 65535, size=(16, 16, 16), dtype=np.uint16)
-        src = str(tmp_path / f"jc_tile{i}")
-        write_npy_pyramid(src, arr, n_levels=1)
-        tiles.append((src, str(tmp_path / f"jc_store{i}.zarr")))
+
+    def run(group, n_tiles, prefix):
+        tiles = []
+        for i in range(n_tiles):
+            arr = rng.integers(
+                0, 65535, size=(16, 16, 16), dtype=np.uint16
+            )
+            src = str(tmp_path / f"{prefix}_tile{i}")
+            write_npy_pyramid(src, arr, n_levels=1)
+            tiles.append((src, str(tmp_path / f"{prefix}_store{i}.zarr")))
+        sc.setJobGroup(group, "count actions")
+        try:
+            result = convert_tiles_to_zarr(
+                spark,
+                tiles,
+                ConvertJobSettings(
+                    input_source="ignored",
+                    output_location="ignored",
+                    chunk_shape=(8, 8, 8),
+                    shard_shape=(8, 8, 8),
+                    translate_pyramid=False,
+                    downsample_levels=3,
+                    downsample_mode="mean",
+                ),
+            )
+            return result, sc.statusTracker().getJobIdsForGroup(group)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        sc.setJobGroup("multitile-job-count", "count actions per level")
-        result = convert_tiles_to_zarr(
-            spark,
-            tiles,
-            ConvertJobSettings(
-                input_source="ignored",
-                output_location="ignored",
-                chunk_shape=(8, 8, 8),
-                shard_shape=(8, 8, 8),
-                translate_pyramid=False,
-                downsample_levels=3,
-                downsample_mode="mean",
-            ),
-        )
-        job_ids = sc.statusTracker().getJobIdsForGroup(
-            "multitile-job-count"
-        )
+        result, jobs = run("mt-cascade-count", 32, "jc")
+        assert result["n_tiles"] == 32 and result["n_shards"] == 8 * 32
+        assert len(result["downsample_stages"]) == 2
+        assert len(jobs) == 1  # whole dataset, every level: ONE job
+
+        monkeypatch.setattr(mt, "_mt_cascade_applicable", lambda *a: False)
+        result, jobs = run("mt-loop-count", 8, "jl")
+        assert result["n_tiles"] == 8 and result["n_shards"] == 8 * 8
+        assert len(result["downsample_stages"]) == 2
+        assert len(jobs) == 1 + (3 - 1)
     finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-    assert result["n_tiles"] == 32 and result["n_shards"] == 8 * 32
-    assert len(result["downsample_stages"]) == 2
-    assert len(job_ids) == 1 + (3 - 1)
 
 
 def test_downsample_stage_count_independent_of_tiles(spark, tmp_path):

@@ -103,3 +103,55 @@ def test_cascade_idempotent_rerun(spark):
         h1 = _tree_hash(out)
         _convert(spark, out, "200,130,70", "mean", 3, force_loop=False)
         assert _tree_hash(out) == h1
+
+
+def test_multitile_cascade_matches_loop_bytes(spark, tmp_path, monkeypatch):
+    """The multi-tile fused cascade must write byte-identical stores to
+    the per-level loop for every tile, including edge-truncated grids."""
+    import numpy as np
+
+    import aind_exaspim_data_transformation_spark.zarrio.multitile as mt
+    from aind_exaspim_data_transformation_spark.sources.tensor import (
+        write_npy_pyramid,
+    )
+
+    rng = np.random.default_rng(5)
+    sources = []
+    for i, shape in enumerate([(20, 14, 10), (16, 16, 16), (9, 9, 9)]):
+        arr = rng.integers(0, 65535, size=shape, dtype=np.uint16)
+        src = str(tmp_path / f"cmp_tile{i}")
+        write_npy_pyramid(src, arr, n_levels=1)
+        sources.append(src)
+
+    def run(tag, force_loop):
+        tiles = [
+            (src, str(tmp_path / f"{tag}_store{i}.zarr"))
+            for i, src in enumerate(sources)
+        ]
+        if force_loop:
+            monkeypatch.setattr(
+                mt, "_mt_cascade_applicable", lambda *a: False
+            )
+        else:
+            monkeypatch.undo()
+        mt.convert_tiles_to_zarr(
+            spark,
+            tiles,
+            ConvertJobSettings(
+                input_source="ignored",
+                output_location="ignored",
+                chunk_shape=(8, 8, 8),
+                shard_shape=(8, 8, 8),
+                translate_pyramid=False,
+                downsample_levels=3,
+                downsample_mode="mean",
+            ),
+        )
+        return {
+            i: _tree_hash(store) for i, (_, store) in enumerate(tiles)
+        }
+
+    cascade = run("casc", force_loop=False)
+    loop = run("loop", force_loop=True)
+    assert cascade == loop
+    assert all(len(h) > 3 for h in cascade.values())
