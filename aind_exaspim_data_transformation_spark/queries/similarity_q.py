@@ -715,8 +715,15 @@ def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 def _km_centroids(vecs: DataFrame) -> DataFrame:
     """_KM_ITERS Lloyd iterations from the first-_KM_K seed; returns the
-    final (k, c double[64]) centroid relation (lazy — iterations chain
-    into one plan)."""
+    final (k, c double[64]) centroid relation MATERIALIZED as a local
+    relation: the centroid table is K x D doubles at any corpus scale,
+    and every consumer references it at least twice (assign + norms, or
+    assign + probes), so leaving it lazy re-evaluates the whole
+    iterative chain per reference (observed: 14 base-table scans in
+    q_ann_ivf's plan, zero exchange reuse — the subtrees differ after
+    filter pushdown). One eager evaluation + a literal relation is the
+    same pattern as a broadcast codebook."""
+    spark = vecs.sparkSession
     cents = vecs.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("k"), F.col("v").alias("c")
     )
@@ -743,7 +750,7 @@ def _km_centroids(vecs: DataFrame) -> DataFrame:
                 lambda s: s["c"],
             ).alias("c")
         )
-    return cents
+    return spark.createDataFrame(cents.collect(), cents.schema)
 
 
 @query("q_kmeans_embeddings", oracle=_km_oracle())
