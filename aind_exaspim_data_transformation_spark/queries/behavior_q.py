@@ -62,35 +62,46 @@ LEFT JOIN p ON u.user_id = p.user_id
 
 @query("q_events_funnel", oracle=_FUNNEL_ORACLE)
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE scan + ONE shuffle: the staged-CTE formulation (view agg ->
+    click agg joined on it -> purchase agg joined on that) re-evaluates
+    each earlier stage per reference — 7 scans of events in the
+    executed plan. Instead, collect each user's per-type sorted
+    timestamp arrays in a single groupBy and resolve the ordered-funnel
+    logic row-locally with array HOFs (first click >= first view, first
+    purchase >= that click). Per-user memory is that user's event
+    count; skew is AQE's to split."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
+
+    def first_of(kind: str):
+        return F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == kind, F.col("ts"))
+            )
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("views"),
+        first_of("click").alias("clicks"),
+        first_of("purchase").alias("purchases"),
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") >= F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
+    first_view = F.element_at("views", 1)
+    # x >= NULL is NULL -> filter drops it, so a missing earlier stage
+    # empties the later stage automatically.
+    first_click = F.element_at(
+        F.filter("clicks", lambda x: x >= first_view), 1
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") >= F.col("first_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
+    first_purchase = F.element_at(
+        F.filter("purchases", lambda x: x >= first_click), 1
     )
-    u = ev.select("user_id").distinct()
-    joined = (
-        u.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+    staged = per_user.select(
+        "user_id",
+        first_view.alias("first_view"),
+        first_click.alias("first_click"),
+        first_purchase.alias("first_purchase"),
     )
-    return joined.select(
+    return staged.select(
         "user_id",
         fmt_ts("first_view", "first_view"),
         fmt_ts("first_click", "first_click"),

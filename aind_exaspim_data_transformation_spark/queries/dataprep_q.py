@@ -83,8 +83,17 @@ probs AS (
 def _temperature_probs(domained: DataFrame) -> DataFrame:
     """(domain, keep_prob) for alpha=0.5 mixture re-weighting of any
     DataFrame carrying a ``domain`` column. The normalization folds a
-    domain-sorted collect_list so the doubles are bit-deterministic."""
+    domain-sorted collect_list so the doubles are bit-deterministic.
+
+    The per-domain count aggregate is materialized once as a local
+    relation (the domain vocabulary is bounded — rows = #domains — at
+    any corpus scale): left lazy, the dc/tot/dw/norm chain re-evaluated
+    it per reference, putting 4 extra corpus scans in the final plan.
+    All arithmetic stays in Spark expressions, so the doubles are
+    unchanged."""
+    spark = domained.sparkSession
     dc = domained.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
+    dc = spark.createDataFrame(dc.collect(), dc.schema)
     tot = dc.agg(F.sum("n_d").alias("n"))
     dw = dc.crossJoin(F.broadcast(tot)).select(
         "domain",
