@@ -29,6 +29,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     streaming_q,
     text_q,
     text_q2,
+    tpch_tail_q,
     udf_q,
     windows,
 )
