@@ -379,3 +379,37 @@ def q_docs_training_pipeline(
         F.floor(gstart / _SEQ_LEN).alias("first_example"),
         F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified exact-n sampling: exactly min(K, |stratum|) docs per lang,
+# chosen by deterministic md5 rank — the reproducible "n examples per
+# class" sampler (reservoir sampling's exact-size guarantee without its
+# order dependence). One window over the stratum key; no driver state.
+# --------------------------------------------------------------------------
+_STRAT_K = 20
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_STRAT_K}
+"""
+
+
+@query("q_docs_stratified_sample", oracle=_STRAT_ORACLE)
+def q_docs_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _STRAT_K)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )

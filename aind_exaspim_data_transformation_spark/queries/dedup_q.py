@@ -267,7 +267,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs become clusters, each keeping its min-doc_id representative.
 # Oracle: transitive closure via WITH RECURSIVE, component = min reachable.
 # --------------------------------------------------------------------------
-def _cluster_sql() -> str:
+def _members_cte() -> str:
+    """WITH RECURSIVE chain ending in ``members(vertex, component)`` —
+    transitive closure over the LSH candidate pairs, shared by the
+    cluster-stats and keep-canonical oracles."""
     pairs = _lsh_pairs_sql().strip()
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
@@ -281,7 +284,13 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
 members AS (
   SELECT a AS vertex, LEAST(a, MIN(b)) AS component
-  FROM reach GROUP BY a)
+  FROM reach GROUP BY a)"""
+
+
+def _cluster_sql() -> str:
+    return (
+        _members_cte()
+        + """
 SELECT component AS cluster_rep,
   COUNT(*) AS cluster_size,
   MIN(vertex) AS min_doc,
@@ -289,6 +298,7 @@ SELECT component AS cluster_rep,
 FROM members
 GROUP BY component
 """
+    )
 
 
 @query("q_dedup_clusters", oracle=_cluster_sql())
@@ -301,6 +311,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("vertex").alias("min_doc"),
         F.max("vertex").alias("max_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Keep-canonical: the actionable end of near-dedup — every document
+# gets its cluster representative and a keep/drop verdict, keeping ONE
+# copy per near-dup cluster (the longest text, ties to the smallest
+# doc_id — the standard "best copy" heuristic) and every singleton.
+# --------------------------------------------------------------------------
+_CANONICAL_ORACLE = (
+    _members_cte()
+    + """,
+canon AS (
+  SELECT m.vertex AS doc_id, m.component,
+    ROW_NUMBER() OVER (PARTITION BY m.component
+                       ORDER BY d.n_chars DESC, m.vertex) AS rn
+  FROM members m JOIN documents d ON m.vertex = d.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_rep,
+  COALESCE(c.rn = 1, TRUE) AS keep
+FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+"""
+)
+
+
+@query("q_dedup_keep_canonical", oracle=_CANONICAL_ORACLE)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters -> one kept document each. Pairs come from the
+    banded LSH join, components from pointer-jumping label propagation,
+    and the canonical pick is a per-component window over (n_chars
+    DESC, doc_id) — cluster relations are tiny next to the corpus, so
+    the final verdict join is a small-side join against documents.
+    Singletons (no near-dup) keep themselves."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    members = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("vertex")
+    )
+    canon = (
+        members.join(docs, members.vertex == docs.doc_id)
+        .select("vertex", "component", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        docs.join(canon, docs.doc_id == canon.vertex, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_rep"),
+            F.coalesce(F.col("rn") == 1, F.lit(True)).alias("keep"),
+        )
     )
 
 
