@@ -157,17 +157,25 @@ class _AvroWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
         avro_schema = spark_schema_to_avro(self.schema)
         names = [f.name for f in self.schema.fields]
         out = os.path.join(self.path, f"part-{pid:05d}.avro")
+        # Stage under an attempt-unique name, then atomically rename:
+        # concurrent speculative attempts never interleave bytes in the
+        # final file, and the deterministic sync seed (partition id, not
+        # attempt) keeps re-writes byte-identical — the same
+        # idempotent-sink contract as the Zarr shard writer.
+        tmp = f"{out}.inprogress-{attempt}"
         n = write_container(
-            out,
+            tmp,
             avro_schema,
             (tuple(row[c] for c in names) for row in iterator),
             codec=self.codec,
             sync_seed=f"part-{pid}",
         )
+        os.replace(tmp, out)
         return _Committed(out, n)
 
     def commit(self, messages):
