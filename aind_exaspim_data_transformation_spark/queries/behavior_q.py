@@ -86,14 +86,18 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_of("click").alias("clicks"),
         first_of("purchase").alias("purchases"),
     )
-    first_view = F.element_at("views", 1)
+    # try_element_at, NOT element_at: under ANSI mode (the Spark 4
+    # default) element_at throws on an empty array, and a user who
+    # never reaches a stage produces exactly that; try_element_at
+    # yields NULL, matching the oracle's LEFT JOIN semantics.
+    first_view = F.try_element_at("views", F.lit(1))
     # x >= NULL is NULL -> filter drops it, so a missing earlier stage
     # empties the later stage automatically.
-    first_click = F.element_at(
-        F.filter("clicks", lambda x: x >= first_view), 1
+    first_click = F.try_element_at(
+        F.filter("clicks", lambda x: x >= first_view), F.lit(1)
     )
-    first_purchase = F.element_at(
-        F.filter("purchases", lambda x: x >= first_click), 1
+    first_purchase = F.try_element_at(
+        F.filter("purchases", lambda x: x >= first_click), F.lit(1)
     )
     staged = per_user.select(
         "user_id",

@@ -158,6 +158,26 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ordered_dot() -> Column:
+    """Dimension-sorted fold of v * comp for a (vec, plane) group —
+    bit-deterministic under any partitioning, matching the oracle's
+    list_sum(list(... ORDER BY i))."""
+    return F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("i"),
+                    (F.col("v").cast("double") * F.col("comp")).alias(
+                        "t"
+                    ),
+                )
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s["t"],
+    )
+
+
 # --------------------------------------------------------------------------
 # LSH bucketing: 8 deterministic md5-derived hyperplanes -> 256 buckets.
 # plane component in {-1, +1} from the low bit of a md5 hex nibble.
@@ -176,7 +196,8 @@ WITH planes AS (
   FROM range(0, {N_PLANES}) t1(p) CROSS JOIN range(1, 65) t2(i)),
 comps AS (
   SELECT e.vec_id, pl.p,
-    SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.comp) AS dot
+    list_sum(list(CAST(e.embedding[pl.i] AS DOUBLE) * pl.comp
+                  ORDER BY pl.i)) AS dot
   FROM embeddings e CROSS JOIN planes pl
   GROUP BY e.vec_id, pl.p),
 buckets AS (
@@ -213,10 +234,13 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+    # Dimension-ordered fold, not SUM: float addition is order
+    # dependent, and a projection within ~1 ulp of 0 could otherwise
+    # land on different sides of the dot>0 bit per engine/run.
     comps = (
         exploded.join(F.broadcast(planes), "i")
         .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("v").cast("double") * F.col("comp")).alias("dot"))
+        .agg(_ordered_dot().alias("dot"))
     )
     return comps.groupBy("vec_id").agg(
         F.sum(
@@ -260,7 +284,8 @@ WITH planes AS (
        CROSS JOIN range(1, 65) t3(i)),
 comps AS (
   SELECT e.vec_id, pl.t, pl.p,
-    SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.comp) AS dot
+    list_sum(list(CAST(e.embedding[pl.i] AS DOUBLE) * pl.comp
+                  ORDER BY pl.i)) AS dot
   FROM embeddings e CROSS JOIN planes pl
   GROUP BY e.vec_id, pl.t, pl.p),
 codes AS (
@@ -302,7 +327,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = (
         exploded.join(F.broadcast(planes), "i")
         .groupBy("vec_id", "t", "p")
-        .agg(F.sum(F.col("v").cast("double") * F.col("comp")).alias("dot"))
+        .agg(_ordered_dot().alias("dot"))
     )
     codes = comps.groupBy("vec_id", "t").agg(
         F.sum(

@@ -118,10 +118,16 @@ class _FilePartition(InputPartition):
 
 
 class _AvroReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pyavro requires a load path")
+        # The schema Spark hands the reader (user-supplied via
+        # .schema(...) or inferred from the first file) binds columns
+        # BY NAME against each file's own header — never by position,
+        # so a reordered/projected user schema cannot silently bind
+        # wrong values to a column.
+        self.field_names = [f.name for f in schema.fields]
 
     def partitions(self):
         files = _avro_files(self.path)
@@ -130,9 +136,22 @@ class _AvroReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
-        from .avroio import read_container
+        from .avroio import read_container, read_header
 
-        yield from read_container(partition.path)
+        file_schema, _, _, _ = read_header(partition.path)
+        file_order = [f["name"] for f in file_schema["fields"]]
+        missing = [n for n in self.field_names if n not in file_order]
+        if missing:
+            raise ValueError(
+                f"pyavro: {partition.path} lacks requested fields "
+                f"{missing} (file has {file_order})"
+            )
+        idx = [file_order.index(n) for n in self.field_names]
+        if idx == list(range(len(file_order))):
+            yield from read_container(partition.path)
+            return
+        for row in read_container(partition.path):
+            yield tuple(row[i] for i in idx)
 
 
 @dataclass
@@ -203,7 +222,7 @@ class AvroDataSource(DataSource):
         return avro_schema_to_spark(schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _AvroReader(self.options)
+        return _AvroReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool):
         # Driver-side overwrite cleanup (write() runs on executors).

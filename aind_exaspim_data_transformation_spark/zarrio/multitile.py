@@ -183,22 +183,19 @@ def _make_global_fused_writer(
                             row.store, lvl_to
                         ).shard_shape[2:]
                     for part in _split_rows(red, origin, lvl_to, cs):
-                        # part = (kind, level, iz, iy, ix, 4x stats-None,
+                        # part = (level, iz, iy, ix,
                         #         oz, oy, ox, sz, sy, sx, payload)
                         out.append(
                             (
                                 "part",
                                 None,
                                 row.store,
-                                part[1],
-                                part[2],
-                                part[3],
-                                part[4],
+                                *part[:4],
                                 None,
                                 None,
                                 None,
                                 None,
-                                *part[9:],
+                                *part[4:],
                             )
                         )
                 out.append(
@@ -525,11 +522,11 @@ def convert_tiles_to_zarr(
             )
         finally:
             spark.conf.set(coalesce_key, prev)
+        # Same dict shape as the fallback path's per-tile stats
+        # (tile_path kept, no level key).
         per_tile = {
             r["tile_path"]: {
-                k: v
-                for k, v in r.asDict().items()
-                if k not in ("tile_path", "level")
+                k: v for k, v in r.asDict().items() if k != "level"
             }
             for r in rows
             if r["level"] == 0

@@ -60,66 +60,6 @@ STATS_SCHEMA = (
     "bytes_read long, bytes_written long, elapsed double, checksum long"
 )
 
-# Row schema for the fused pyramid cascade: 'stats' rows are per-shard
-# write records, 'part' rows carry a REDUCED block piece destined for a
-# target shard one level down (oz/oy/ox = offset inside the target
-# shard, sz/sy/sx = piece shape, payload = C-order voxels).
-CASCADE_SCHEMA = (
-    "kind string, level int, iz int, iy int, ix int, "
-    "bytes_read long, bytes_written long, elapsed double, checksum long, "
-    "oz int, oy int, ox int, sz int, sy int, sx int, payload binary"
-)
-
-_CASCADE_COLS = [
-    "kind",
-    "level",
-    "iz",
-    "iy",
-    "ix",
-    "bytes_read",
-    "bytes_written",
-    "elapsed",
-    "checksum",
-    "oz",
-    "oy",
-    "ox",
-    "sz",
-    "sy",
-    "sx",
-    "payload",
-]
-
-
-def _stats_row(
-    level: int,
-    iz: int,
-    iy: int,
-    ix: int,
-    bytes_read: int,
-    bytes_written: int,
-    elapsed: float,
-    checksum: int,
-) -> tuple:
-    return (
-        "stats",
-        level,
-        iz,
-        iy,
-        ix,
-        bytes_read,
-        bytes_written,
-        elapsed,
-        checksum,
-        None,
-        None,
-        None,
-        None,
-        None,
-        None,
-        None,
-    )
-
-
 def _pack_payload(raw: bytes) -> bytes:
     """Wire compression for cascade partials: reduced voxels shuffle
     compressed (zstd-1 when a backend exists, zlib-1 otherwise), cutting
@@ -148,8 +88,9 @@ def _split_rows(
     child_shard: tuple[int, int, int],
 ) -> list[tuple]:
     """Split a reduced block (global origin ``r0`` at level ``lvl_to``)
-    across that level's shard grid, emitting one 'part' row per
-    overlapped target shard."""
+    across that level's shard grid. One tuple per overlapped target
+    shard: (level, iz, iy, ix, oz, oy, ox, sz, sy, sx, payload) —
+    offsets inside the target shard, piece shape, compressed voxels."""
     r1 = tuple(a + s for a, s in zip(r0, red.shape))
     cs = child_shard
     rows = []
@@ -170,15 +111,10 @@ def _split_rows(
                 )
                 rows.append(
                     (
-                        "part",
                         lvl_to,
                         cz,
                         cy,
                         cx,
-                        None,
-                        None,
-                        None,
-                        None,
                         a[0] - c0[0],
                         a[1] - c0[1],
                         a[2] - c0[2],
@@ -349,194 +285,6 @@ def _cascade_divisible(
     return all(
         s % f ** (n_levels - 1) == 0 for s, f in zip(shard0, factor)
     )
-
-
-def _make_fused_copy_writer(
-    source_path: str,
-    store: str,
-    specs: dict[int, ShardSpec],
-    factor: tuple[int, int, int],
-    mode: str,
-    n_levels: int,
-):
-    """Level-0 writer for the fused pyramid cascade: identical to the
-    copy writer, but while the source block is still in memory it ALSO
-    reduces it recursively through EVERY pyramid level and emits the
-    reduced pieces as 'part' rows. Each level-k reduced block is
-    byte-identical to the stored level-k voxels it becomes (the
-    assembler just concatenates pieces), so reduce-of-reduce equals
-    the loop path's store-read reduce exactly. The parent level is
-    never re-read from the store (at 100 TB that re-read is a full
-    extra pass over object storage), only reduced voxels (a
-    1/prod(factor) geometric series of the bytes) ever shuffle, and
-    assembly needs a single shuffle stage regardless of depth."""
-
-    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        src = open_source(source_path)
-
-        def read_fn(row, z0, z1, y0, y1, x0, x1):
-            return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
-
-        for pdf in batches:
-            out = []
-            for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
-                t0 = time.monotonic()
-                spec = specs[0]
-                blob = encode_shard(_pad_to_shard(block, spec), spec)
-                write_shard_file(
-                    store, 0, (0, 0, row.iz, row.iy, row.ix), blob
-                )
-                red = block
-                origin = (row.z0, row.y0, row.x0)
-                for lvl_to in range(1, n_levels):
-                    red = downsample_block(red, factor, mode)
-                    origin = tuple(
-                        o // f for o, f in zip(origin, factor)
-                    )
-                    out.extend(
-                        _split_rows(
-                            red,
-                            origin,
-                            lvl_to,
-                            specs[lvl_to].shard_shape[2:],
-                        )
-                    )
-                out.append(
-                    _stats_row(
-                        0,
-                        row.iz,
-                        row.iy,
-                        row.ix,
-                        block.nbytes,
-                        len(blob),
-                        read_sec + time.monotonic() - t0,
-                        zlib_crc32(np.ascontiguousarray(block).tobytes()),
-                    )
-                )
-            yield pd.DataFrame(out, columns=_CASCADE_COLS)
-        src.close()
-
-    return writer
-
-
-def _make_cascade_assembler(
-    store: str,
-    specs: dict[int, ShardSpec],
-    level_dims: dict[int, tuple[int, int, int]],
-):
-    """Grouped assembler for the fused cascade: each 'part' group is one
-    target shard — place the reduced pieces, encode, write, emit the
-    shard's stats row. 'stats' groups pass through untouched."""
-
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.iloc[0]["kind"] == "stats":
-            return pdf
-        t0 = time.monotonic()
-        first = pdf.iloc[0]
-        lvl = int(first["level"])
-        iz, iy, ix = int(first["iz"]), int(first["iy"]), int(first["ix"])
-        spec = specs[lvl]
-        cs = spec.shard_shape[2:]
-        dims = level_dims[lvl]
-        start = (iz * cs[0], iy * cs[1], ix * cs[2])
-        valid = tuple(
-            min(c, d - s) for c, d, s in zip(cs, dims, start)
-        )
-        block = np.full(valid, spec.fill_value, dtype=spec.np_dtype)
-        nread = 0
-        for r in pdf.itertuples(index=False):
-            raw = _unpack_payload(
-                r.payload,
-                int(r.sz) * int(r.sy) * int(r.sx) * spec.np_dtype.itemsize,
-            )
-            piece = np.frombuffer(raw, dtype=spec.np_dtype).reshape(
-                r.sz, r.sy, r.sx
-            )
-            block[
-                r.oz : r.oz + r.sz,
-                r.oy : r.oy + r.sy,
-                r.ox : r.ox + r.sx,
-            ] = piece
-            nread += len(r.payload)
-        blob = encode_shard(_pad_to_shard(block, spec), spec)
-        write_shard_file(store, lvl, (0, 0, iz, iy, ix), blob)
-        rows = [
-            _stats_row(
-                lvl,
-                iz,
-                iy,
-                ix,
-                nread,
-                len(blob),
-                time.monotonic() - t0,
-                zlib_crc32(np.ascontiguousarray(block).tobytes()),
-            )
-        ]
-        return pd.DataFrame(rows, columns=_CASCADE_COLS)
-
-    return assemble
-
-
-def _run_cascade(
-    spark: SparkSession,
-    tasks: DataFrame,
-    settings: ConvertJobSettings,
-    specs: dict[int, ShardSpec],
-    shapes: list[tuple[int, int, int]],
-    factor: tuple[int, int, int],
-    n_partitions: int,
-) -> list[dict]:
-    """Run the whole computed pyramid as ONE Spark job: level-0
-    superchunk-coalesced writes emit reduced partials for EVERY level,
-    then a single shuffle keyed by target shard assembles and writes
-    all deeper levels at once. Replaces the per-level action loop (one
-    store re-read and one job launch per level) whenever the shard
-    grid is factor^depth-divisible."""
-    n_levels = len(shapes)
-    level_dims = {lvl: shapes[lvl] for lvl in range(n_levels)}
-    df = tasks.repartition(n_partitions, "superchunk").mapInPandas(
-        _make_fused_copy_writer(
-            settings.input_source,
-            settings.output_location,
-            specs,
-            factor,
-            settings.downsample_mode,
-            n_levels,
-        ),
-        CASCADE_SCHEMA,
-    )
-    assembler = _make_cascade_assembler(
-        settings.output_location, specs, level_dims
-    )
-    df = df.groupBy("kind", "level", "iz", "iy", "ix").applyInPandas(
-        assembler, CASCADE_SCHEMA
-    )
-    # The assembly stages are CPU-bound per group (decode + encode +
-    # reduce) while their shuffled bytes are tiny (compressed reduced
-    # voxels), so AQE's size-based partition coalescing would serialize
-    # them onto one core. Pin coalescing off for this action only.
-    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev = spark.conf.get(coalesce_key, "true")
-    spark.conf.set(coalesce_key, "false")
-    try:
-        per_level = (
-            df.where(F.col("kind") == "stats")
-            .groupBy("level")
-            .agg(
-                F.count(F.lit(1)).alias("n_shards"),
-                F.sum("bytes_read").alias("bytes_read"),
-                F.sum("bytes_written").alias("bytes_written"),
-                F.sum("elapsed").alias("task_seconds"),
-            )
-            .orderBy("level")
-            .collect()
-        )
-    finally:
-        spark.conf.set(coalesce_key, prev)
-    return [
-        {k: v for k, v in r.asDict().items() if k != "level"}
-        for r in per_level
-    ]
 
 
 def _read_reduced_region(
@@ -728,12 +476,25 @@ def convert_to_zarr(
     compute_pyramid = not settings.translate_pyramid and n_levels > 1
     if compute_pyramid and _cascade_divisible(specs, factor, n_levels):
         # Fused cascade: the whole pyramid is ONE job — level-0 writes
-        # emit reduced partials, each following stage is a shuffle of
-        # reduced voxels keyed by target shard. The parent level is
-        # never re-read from the store.
-        stages = _run_cascade(
-            spark, tasks, settings, specs, shapes, factor, n_parts
+        # emit reduced partials for every level, one shuffle keyed by
+        # target shard assembles all deeper levels, and the parent
+        # level is never re-read from the store. ONE implementation
+        # serves both entry points: delegate to the multi-tile cascade
+        # with a single tile (imported locally — multitile builds on
+        # this module's helpers, so a top-level import would cycle).
+        # The metadata writes above are re-issued inside and are
+        # byte-identical (deterministic, idempotent sinks).
+        from .multitile import convert_tiles_to_zarr
+
+        mt = convert_tiles_to_zarr(
+            spark, [(settings.input_source, store)], settings
         )
+        tile_stats = next(iter(mt["tiles"].values()))
+        stage0 = {
+            k: v for k, v in tile_stats.items() if k != "tile_path"
+        }
+        stage0["level"] = 0
+        stages = [stage0] + mt["downsample_stages"]
     else:
         stages = [
             _run_stage(
@@ -744,6 +505,7 @@ def convert_to_zarr(
             )
         ]
         if compute_pyramid:
+            stages[0]["level"] = 0
             # Sequential level loop: level k depends on k-1 (reference
             # A2). Partition by shard coords, NOT superchunk — the
             # downsample writer reads the store per-shard, so there is
@@ -756,21 +518,21 @@ def convert_to_zarr(
                     {lvl: specs[lvl].shard_shape[2:]},
                     settings.superchunk_multiple,
                 )
-                stages.append(
-                    _run_stage(
-                        spark,
-                        ltasks,
-                        _make_downsample_writer(
-                            store,
-                            specs,
-                            {lvl - 1: shapes[lvl - 1]},
-                            factor,
-                            settings.downsample_mode,
-                        ),
-                        n_parts,
-                        partition_cols=("iz", "iy", "ix"),
-                    )
+                stage = _run_stage(
+                    spark,
+                    ltasks,
+                    _make_downsample_writer(
+                        store,
+                        specs,
+                        {lvl - 1: shapes[lvl - 1]},
+                        factor,
+                        settings.downsample_mode,
+                    ),
+                    n_parts,
+                    partition_cols=("iz", "iy", "ix"),
                 )
+                stage["level"] = lvl
+                stages.append(stage)
 
     # Driver-side metadata write, once, after all actions.
     write_group_metadata(

@@ -158,3 +158,41 @@ def test_datasource_roundtrip_and_overwrite(spark, tmp_path):
     # overwrite replaces, never appends
     df.limit(10).write.format("pyavro").mode("overwrite").save(out)
     assert spark.read.format("pyavro").load(out).count() == 10
+
+
+def test_datasource_honors_user_schema_by_name(spark, tmp_path):
+    """A reordered or projected .schema(...) must bind columns by NAME
+    against the file header, never by position."""
+    from pyspark.sql import functions as F
+
+    from aind_exaspim_data_transformation_spark.sources.avro_datasource import (
+        AvroDataSource,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    out = str(tmp_path / "reorder.avro")
+    df = spark.range(50).select(
+        "id",
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    df.write.format("pyavro").mode("overwrite").save(out)
+    # reordered schema: x before id, s dropped
+    back = (
+        spark.read.format("pyavro")
+        .schema("x double, id long")
+        .load(out)
+        .collect()
+    )
+    assert all(r["x"] == r["id"] * 1.5 for r in back)
+    assert len(back) == 50
+    # a field the file does not have -> explicit error, not garbage
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lacks requested fields"):
+        (
+            spark.read.format("pyavro")
+            .schema("nope long")
+            .load(out)
+            .collect()
+        )
