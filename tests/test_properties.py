@@ -124,3 +124,87 @@ def test_clamping_invariants(shape):
 def test_crc32c_incremental_property(data):
     mid = len(data) // 2
     assert crc32c(data) == crc32c(data[mid:], crc32c(data[:mid]))
+
+
+# --------------------------------------------------------------------------
+# Round-5 codecs: Avro container and PNG/BMP roundtrips for arbitrary
+# values/shapes (the unit suites cover goldens; these sweep the space).
+# --------------------------------------------------------------------------
+_avro_longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_avro_text = st.text(max_size=80)
+_avro_bytes = st.binary(max_size=120)
+_avro_doubles = st.floats(allow_nan=False)  # NaN != NaN breaks tuple ==
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            _avro_longs,
+            _avro_doubles,
+            _avro_text,
+            _avro_bytes,
+            st.booleans(),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            ),
+        ),
+        max_size=40,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_rows=st.integers(min_value=1, max_value=7),
+)
+def test_avro_container_roundtrip_property(rows, codec, block_rows):
+    import tempfile
+
+    from aind_exaspim_data_transformation_spark.sources.avroio import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "x", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "boolean"},
+            {"name": "m", "type": ["null", "int"]},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/prop.avro"
+        n = write_container(
+            p, schema, rows, codec=codec, block_rows=block_rows
+        )
+        assert n == len(rows)
+        assert list(read_container(p)) == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filter_cycle=st.integers(min_value=1, max_value=5),
+)
+def test_png_bmp_roundtrip_property(h, w, seed, filter_cycle):
+    from aind_exaspim_data_transformation_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    img = (
+        np.random.default_rng(seed)
+        .integers(0, 256, (h, w, 3))
+        .astype(np.uint8)
+    )
+    assert np.array_equal(
+        decode_png(encode_png(img, filter_cycle=filter_cycle)), img
+    )
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
