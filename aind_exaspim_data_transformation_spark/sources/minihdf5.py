@@ -215,6 +215,12 @@ class _Writer:
             (self._chunk_key(nbytes, mask, offs), addr)
             for offs, addr, nbytes, mask in entries
         ]
+        if not items:
+            # A chunked dataset with a zero-size dim has no chunks; the
+            # layout message carries the undefined address (the reader
+            # treats it as an empty index). Without this, build_nodes
+            # would return [] forever and the loop below never exits.
+            return UNDEF
         level = 0
         while True:
             nodes = build_nodes(items, level)
@@ -312,7 +318,8 @@ class _Writer:
     ) -> int:
         """children: link name -> object header address."""
         names = sorted(children)  # SNOD entries must be name-ordered
-        if len(names) > 4 * 4:  # stay far below one leaf's 2k=8 capacity
+        if len(names) > 16:  # exactly one leaf's 2K=16 capacity (K=8
+            # declared in the superblock; finish())
             raise ValueError("minihdf5 writer: too many links in one group")
         # local heap: empty string at offset 0, then each name
         heap = bytearray(b"\x00" * 8)
@@ -358,7 +365,12 @@ class _Writer:
     def finish(self, root_addr: int) -> bytes:
         sb = SIGNATURE
         sb += struct.pack("<8B", 0, 0, 0, 0, 0, 8, 8, 0)
-        sb += struct.pack("<HHI", 4, 16, 0)
+        # Group Leaf Node K = 8: a symbol node holds up to 2K = 16
+        # entries, matching write_group's 16-link cap exactly (K = 4
+        # would declare an 8-entry capacity while groups with 9-16
+        # links emit one 16-entry SNOD — non-conformant, and libhdf5
+        # sizes nodes from K).
+        sb += struct.pack("<HHI", 8, 16, 0)
         sb += struct.pack("<QQQQ", 0, UNDEF, len(self.buf), UNDEF)
         sb += struct.pack("<QQI4x16x", 0, root_addr, 0)
         assert len(sb) == 96
@@ -450,7 +462,8 @@ class ChunkedDataset:
         index is ~5 MB — cheap next to the voxel payload)."""
         if self._index is None:
             self._index = {}
-            self._walk(self._btree_addr, len(self.shape))
+            if self._btree_addr != UNDEF:  # zero-size dataset: no chunks
+                self._walk(self._btree_addr, len(self.shape))
         return self._index
 
     def _walk(self, addr: int, rank: int) -> None:
@@ -740,10 +753,22 @@ class File(Group):
             addr = node._links.get(part)
             if addr is None:
                 return None
-            parsed = self._read_object(addr)
-            if isinstance(parsed, (Dataset, ChunkedDataset)):
-                node = parsed
-            else:
-                links, attrs = parsed
-                node = Group(self, links, attrs)
+            # Cache parsed objects per header address: repeated
+            # f[path] lookups (one per read_block in the conversion
+            # hot loop) would otherwise re-parse the object header AND
+            # return a fresh ChunkedDataset whose lazily-built chunk
+            # index (_chunk_index, a full B-tree walk) never survives
+            # between reads.
+            cache = getattr(self, "_obj_cache", None)
+            if cache is None:
+                cache = self._obj_cache = {}
+            node = cache.get(addr)
+            if node is None:
+                parsed = self._read_object(addr)
+                if isinstance(parsed, (Dataset, ChunkedDataset)):
+                    node = parsed
+                else:
+                    links, attrs = parsed
+                    node = Group(self, links, attrs)
+                cache[addr] = node
         return node

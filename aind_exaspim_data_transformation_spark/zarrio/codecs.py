@@ -128,6 +128,9 @@ def decompress(
     raise ValueError(f"unknown codec {codec!r}")
 
 
-def zlib_crc32(data: bytes) -> int:
-    """Plain CRC32 (for quick content fingerprints in stats rows)."""
+def zlib_crc32(data) -> int:
+    """Plain CRC32 (for quick content fingerprints in stats rows).
+    Accepts any C-contiguous buffer — pass ndarrays directly instead
+    of .tobytes(), which would copy the whole block first (a 512^3
+    uint16 shard is 256 MB; the checksum path is per-shard-write)."""
     return _zlib.crc32(data) & 0xFFFFFFFF

@@ -172,7 +172,14 @@ def _client(scheme: str, root: str):
                 client = boto3.client("s3", **kwargs)
             else:  # pragma: no cover - needs credentials/network
                 client = boto3.client("s3")
-        _CLIENT_CACHE.clear()  # drop pre-fork clients
+        # Drop only PRE-FORK entries (clients created in another pid:
+        # boto3 clients don't survive fork). Clearing everything would
+        # evict live same-process clients for other buckets/roots and
+        # thrash ~50-100 ms boto3 construction each time a worker
+        # alternates between two stores.
+        pid = os.getpid()
+        for key in [k for k in _CLIENT_CACHE if k[0] != pid]:
+            del _CLIENT_CACHE[key]
         _CLIENT_CACHE[cache_key] = client
     return client
 

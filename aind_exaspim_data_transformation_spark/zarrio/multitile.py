@@ -112,17 +112,15 @@ def _mt_cascade_applicable(
     all_specs: dict[str, dict[int, ShardSpec]],
     factor: tuple[int, int, int],
 ) -> bool:
-    """Fused cascade needs EVERY tile's level-0 shard grid to divide
-    factor^(n_levels-1) (same alignment argument as the single-tile
-    `_cascade_divisible`); mixed grids fall back to the level loop."""
-    for specs in all_specs.values():
-        n_levels = len(specs)
-        if n_levels < 2:
-            return False
-        shard0 = specs[0].shard_shape[2:]
-        if any(s % f ** (n_levels - 1) != 0 for s, f in zip(shard0, factor)):
-            return False
-    return True
+    """Fused cascade needs EVERY tile to satisfy the single alignment
+    rule (`pipeline._cascade_divisible`: shard0 % factor^depth == 0);
+    mixed or single-level grids fall back to the level loop."""
+    from .pipeline import _cascade_divisible
+
+    return all(
+        len(specs) >= 2 and _cascade_divisible(specs, factor, len(specs))
+        for specs in all_specs.values()
+    )
 
 
 def _make_global_fused_writer(
@@ -210,7 +208,7 @@ def _make_global_fused_writer(
                         block.nbytes,
                         len(blob),
                         read_sec + time.monotonic() - t0,
-                        zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                        zlib_crc32(np.ascontiguousarray(block)),
                         None,
                         None,
                         None,
@@ -283,7 +281,7 @@ def _make_global_assembler():
                     nread,
                     len(blob),
                     time.monotonic() - t0,
-                    zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                    zlib_crc32(np.ascontiguousarray(block)),
                     None,
                     None,
                     None,
@@ -422,7 +420,7 @@ def _global_writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     block.nbytes,
                     len(blob),
                     read_sec + time.monotonic() - t0,
-                    zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                    zlib_crc32(np.ascontiguousarray(block)),
                 )
             )
         yield pd.DataFrame(
@@ -720,7 +718,7 @@ def _make_global_downsample_writer(
                         parent_nbytes,
                         len(blob),
                         time.monotonic() - t0,
-                        zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                        zlib_crc32(np.ascontiguousarray(block)),
                     )
                 )
             yield pd.DataFrame(

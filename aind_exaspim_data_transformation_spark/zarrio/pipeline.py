@@ -250,7 +250,7 @@ def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec])
                         block.nbytes,
                         len(blob),
                         read_sec + time.monotonic() - t0,
-                        zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                        zlib_crc32(np.ascontiguousarray(block)),
                     )
                 )
             yield pd.DataFrame(
@@ -398,7 +398,7 @@ def _make_downsample_writer(
                         parent_nbytes,
                         len(blob),
                         time.monotonic() - t0,
-                        zlib_crc32(np.ascontiguousarray(block).tobytes()),
+                        zlib_crc32(np.ascontiguousarray(block)),
                     )
                 )
             yield pd.DataFrame(
@@ -465,14 +465,6 @@ def convert_to_zarr(
     n_parts = max(
         spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
     )
-    source_levels = range(n_levels) if settings.translate_pyramid else [0]
-    level_shapes = {lvl: shapes[lvl] for lvl in source_levels}
-    shard_by_level = {
-        lvl: specs[lvl].shard_shape[2:] for lvl in source_levels
-    }
-    tasks = shard_tasks_df(
-        spark, level_shapes, shard_by_level, settings.superchunk_multiple
-    )
     compute_pyramid = not settings.translate_pyramid and n_levels > 1
     if compute_pyramid and _cascade_divisible(specs, factor, n_levels):
         # Fused cascade: the whole pyramid is ONE job — level-0 writes
@@ -496,6 +488,17 @@ def convert_to_zarr(
         stage0["level"] = 0
         stages = [stage0] + mt["downsample_stages"]
     else:
+        # The task grid is only enumerated for the non-delegated paths
+        # (the cascade branch builds its own rows in multitile).
+        source_levels = (
+            range(n_levels) if settings.translate_pyramid else [0]
+        )
+        tasks = shard_tasks_df(
+            spark,
+            {lvl: shapes[lvl] for lvl in source_levels},
+            {lvl: specs[lvl].shard_shape[2:] for lvl in source_levels},
+            settings.superchunk_multiple,
+        )
         stages = [
             _run_stage(
                 spark,

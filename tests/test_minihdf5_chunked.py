@@ -262,3 +262,46 @@ def test_h5py_cross_check_shuffle(tmp_path):
     with h5py.File(path, "r") as f:
         np.testing.assert_array_equal(f["d"][:], arr)
         assert f["d"].shuffle is True
+
+
+def test_zero_size_chunked_dataset_roundtrip(tmp_path):
+    """A chunked dataset with a zero-size dim has NO chunks: the writer
+    must emit the undefined B-tree address (it used to spin forever in
+    _chunk_btree) and the reader must yield an empty index."""
+    import numpy as np
+
+    from aind_exaspim_data_transformation_spark.sources.minihdf5 import (
+        File,
+        write_file,
+    )
+
+    p = str(tmp_path / "zero.h5")
+    write_file(p, {"d": (np.zeros((0, 4), np.uint16), {"chunks": (2, 2)})})
+    d = File(p)["d"]
+    assert d.shape == (0, 4)
+    assert d._chunk_index() == {}
+
+
+def test_group_with_sixteen_links_conforms_to_leaf_k(tmp_path):
+    """The superblock declares Group Leaf Node K=8 (2K=16 symbols per
+    node), so a 16-link group — the writer's cap — is exactly one full
+    conformant SNOD. Reader roundtrip + declared-K check."""
+    import struct
+
+    import numpy as np
+
+    from aind_exaspim_data_transformation_spark.sources.minihdf5 import (
+        File,
+        write_file,
+    )
+
+    p = str(tmp_path / "wide.h5")
+    tree = {f"d{i:02d}": np.full((2,), i, np.uint16) for i in range(16)}
+    write_file(p, tree)
+    with open(p, "rb") as f:
+        sb = f.read(96)
+    leaf_k, internal_k = struct.unpack_from("<HH", sb, 16)
+    assert leaf_k == 8 and internal_k == 16
+    f = File(p)
+    for i in range(16):
+        assert f[f"d{i:02d}"][...].tolist() == [i, i]
