@@ -23,6 +23,29 @@ from .registry import query
 N_HASHES = 8  # minhash permutations
 N_BANDS = 4  # LSH bands (2 rows per band)
 
+_BYTE_UNITS = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _parse_bytes(value) -> int:
+    """Spark byte-size conf values arrive either as a plain number or
+    in human form ('128MB', '64m'); int(str(v).rstrip('b')) crashed on
+    the human spellings a user session can legitimately set."""
+    s = str(value).strip().lower()
+    num = s.rstrip("kmgtb")
+    unit = s[len(num):]
+    return int(float(num) * _BYTE_UNITS[unit])
+
 
 # --------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on normalized text, keep min doc_id.
@@ -111,12 +134,10 @@ def _minhash_signatures_from(docs: DataFrame) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     files = docs.inputFiles()
     if files and len(files) < target:
-        max_pb = int(
-            str(
-                spark.conf.get(
-                    "spark.sql.files.maxPartitionBytes", "134217728"
-                )
-            ).rstrip("b")
+        max_pb = _parse_bytes(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
         )
         try:
             total = sum(
@@ -173,7 +194,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket-join per band, dedupe pairs, estimate Jaccard from the full
 # signature, threshold at 0.5.
 # --------------------------------------------------------------------------
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(max_bucket: int | None = None) -> str:
+    """Banded-LSH candidate-pair oracle; ``max_bucket`` inserts the
+    degenerate-bucket guard (one builder for the capped and uncapped
+    variants so the banding/estimator logic cannot diverge)."""
     sig_cte = _minhash_sig_sql().strip()
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, "
@@ -184,12 +208,21 @@ def _lsh_pairs_sql() -> str:
         f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
         for i in range(N_HASHES)
     )
+    kept_cte, side = "", "bands"
+    if max_bucket is not None:
+        kept_cte = f""",
+kept AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz
+    FROM bands)
+  WHERE bsz <= {max_bucket})"""
+        side = "kept"
     return f"""
 WITH sigs AS ({sig_cte}),
-bands AS ({band_selects}),
+bands AS ({band_selects}){kept_cte},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
+  FROM {side} x JOIN {side} y
     ON x.band = y.band AND x.band_key = y.band_key
    AND x.doc_id < y.doc_id)
 SELECT doc_a, doc_b,
@@ -201,19 +234,25 @@ WHERE ({est}) >= {N_HASHES // 2}
 """
 
 
-@query("q_minhash_lsh_pairs", oracle=_lsh_pairs_sql())
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signatures travel WITH the band rows as an array column, so candidate
-    # pairs carry both signatures out of the bucket join — no re-join back
-    # to the signature table (2 shuffles saved; at scale the join back
-    # would reshuffle the full signature relation per side).
-    #
-    # Cache at the SIGNATURE boundary, not the band boundary: projection
-    # collapsing would otherwise inline the (interpreted, non-codegen)
-    # minhash lambda chain into the sig array AND all four band keys —
-    # ~16 evaluations of the transform per row. Caching sigs makes every
-    # downstream reference a plain column read; the band rows derived
-    # from it are cheap (4 md5s of short strings) on each join side.
+def _lsh_pairs_plan(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """One Spark plan for both LSH-pair variants (``max_bucket`` adds
+    the degenerate-bucket guard) — banding, match estimator, and
+    threshold live in exactly one place, mirroring _lsh_pairs_sql.
+
+    Signatures travel WITH the band rows as an array column, so
+    candidate pairs carry both signatures out of the bucket join — no
+    re-join back to the signature table (2 shuffles saved; at scale
+    the join back would reshuffle the full signature relation per
+    side).
+
+    Cache at the SIGNATURE boundary, not the band boundary: projection
+    collapsing would otherwise inline the (interpreted, non-codegen)
+    minhash lambda chain into the sig array AND all four band keys —
+    ~16 evaluations of the transform per row. Caching sigs makes every
+    downstream reference a plain column read; the band rows derived
+    from it are cheap (4 md5s of short strings) on each join side."""
     sigs = _minhash_signatures(spark, sf_dir).cache()
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
     band_keys = F.array(
@@ -229,6 +268,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_arr.alias("sig"),
         F.posexplode(band_keys).alias("band", "band_key"),
     )
+    if max_bucket is not None:
+        # Bucket-size window over the SAME key the join shuffles on —
+        # the guard adds no extra exchange on either side.
+        w = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     x = bands.alias("x")
     y = bands.alias("y")
     matches = F.aggregate(
@@ -260,6 +308,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m").cast("double") / N_HASHES).alias("est_jaccard"),
         )
     )
+
+
+@query("q_minhash_lsh_pairs", oracle=_lsh_pairs_sql())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_pairs_plan(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -512,88 +565,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_BUCKET = 20  # band buckets above this are degenerate, skip them
 
 
-def _lsh_pairs_capped_sql() -> str:
-    sig_cte = _minhash_sig_sql().strip()
-    band_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(concat(sig_{2 * b}, sig_{2 * b + 1})) AS band_key FROM sigs"
-        for b in range(N_BANDS)
-    )
-    est = " + ".join(
-        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
-        for i in range(N_HASHES)
-    )
-    return f"""
-WITH sigs AS ({sig_cte}),
-bands AS ({band_selects}),
-kept AS (
-  SELECT doc_id, band, band_key FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz
-    FROM bands)
-  WHERE bsz <= {MAX_BUCKET}),
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM kept x JOIN kept y
-    ON x.band = y.band AND x.band_key = y.band_key
-   AND x.doc_id < y.doc_id)
-SELECT doc_a, doc_b,
-  CAST(({est}) AS DOUBLE) / {N_HASHES} AS est_jaccard
-FROM cand
-JOIN sigs a ON cand.doc_a = a.doc_id
-JOIN sigs b ON cand.doc_b = b.doc_id
-WHERE ({est}) >= {N_HASHES // 2}
-"""
 
-
-@query("q_minhash_lsh_pairs_capped", oracle=_lsh_pairs_capped_sql())
+@query(
+    "q_minhash_lsh_pairs_capped",
+    oracle=_lsh_pairs_sql(max_bucket=MAX_BUCKET),
+)
 def q_minhash_lsh_pairs_capped(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sigs = _minhash_signatures(spark, sf_dir).cache()
-    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
-    band_keys = F.array(
-        *[
-            F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")))
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id",
-        sig_arr.alias("sig"),
-        F.posexplode(band_keys).alias("band", "band_key"),
-    )
-    w = Window.partitionBy("band", "band_key")
-    kept = bands.withColumn("bsz", F.count(F.lit(1)).over(w)).where(
-        F.col("bsz") <= MAX_BUCKET
-    )
-    x = kept.alias("x")
-    y = kept.alias("y")
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("x.sig"),
-            F.col("y.sig"),
-            lambda a, b: F.when(a == b, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            matches.alias("m"),
-        )
-        .distinct()
-        .where(F.col("m") >= N_HASHES // 2)
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("m").cast("double") / N_HASHES).alias("est_jaccard"),
-        )
-    )
+    return _lsh_pairs_plan(spark, sf_dir, max_bucket=MAX_BUCKET)

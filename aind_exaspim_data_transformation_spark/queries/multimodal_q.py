@@ -71,14 +71,20 @@ FROM g
 def q_multimodal_chunk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = F.length("text")
+    # Guard the empty payload: for n=0, sequence(0, -1) DESCENDS as
+    # [0, -1] and would emit two bogus chunk rows while the oracle's
+    # range(0, 0) emits none.
+    idxs = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.ceil(n / F.lit(float(CHUNK))).cast("long") - 1,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     grid = docs.select(
         "doc_id",
         n.alias("n"),
-        F.explode(
-            F.sequence(
-                F.lit(0), F.ceil(n / F.lit(float(CHUNK))).cast("long") - 1
-            )
-        ).alias("chunk_idx"),
+        F.explode(idxs).alias("chunk_idx"),
         F.col("text"),
     )
     return grid.select(

@@ -91,7 +91,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_stateful_user_stats",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
     AS sum_value
 FROM events
 GROUP BY user_id
@@ -100,13 +100,24 @@ GROUP BY user_id
 def q_stream_stateful_user_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # availableNow over one parquet file => a single micro-batch, so the
-    # final update per user equals the batch aggregate (oracle-checkable).
+    # The memory sink appends one row per key per micro-batch in update
+    # mode, so keep only the LAST update per user (n_events strictly
+    # increases per update) — correct whether availableNow yields one
+    # micro-batch or many. Half-up cents match the oracle's
+    # floor(v*100+0.5) (same convention as the TWS twin).
     name = _unique("stream_stateful")
     run_to_memory(
         stream_stateful_user_stats(spark, sf_dir), name, output_mode="update"
     )
-    return spark.table(name)
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        spark.table(name)
+        .withColumn("_rk", rk)
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
 
 @query(

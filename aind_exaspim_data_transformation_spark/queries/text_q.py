@@ -277,9 +277,9 @@ _W = 4  # winnowing window
     oracle=f"""
 WITH grams AS (
   SELECT doc_id, i, md5(substr(text, CAST(i AS INT), {_K})) AS h
-  FROM documents,
-    (SELECT unnest(range(1, 2000)) AS i) idx
-  WHERE i <= length(text) - {_K} + 1 AND doc_id < 100),
+  FROM (SELECT doc_id, text,
+          unnest(range(1, greatest(length(text) - {_K} + 2, 1))) AS i
+        FROM documents WHERE doc_id < 100)),
 wins AS (
   SELECT doc_id,
     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -291,11 +291,16 @@ SELECT DISTINCT doc_id, fingerprint FROM wins
 )
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # Guard the gram positions: for text shorter than _K chars,
+    # sequence(1, length-7) DESCENDS through 0 and negatives and
+    # substr would emit bogus grams the oracle omits.
+    positions = F.when(
+        F.length("text") >= _K,
+        F.sequence(F.lit(1), F.length("text") - (_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - (_K - 1))
-        ).alias("i"),
+        F.explode(positions).alias("i"),
         F.col("text"),
     ).select(
         "doc_id",
@@ -382,11 +387,15 @@ FROM s
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = F.array(*[F.lit(s) for s in _BENCHMARK_SHINGLES])
-    words = F.split("text", " ")
+    # Slice-bounded transform (the text_q2 idiom), NOT
+    # sequence(1, greatest(n-1, 0)): for a single-word doc that
+    # sequence DESCENDS as [1, 0] and element_at(words, 0) throws
+    # unconditionally, where the oracle's range(1, 1) is just empty.
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
-        " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-        "                element_at(split(text, ' '), i + 1)))"
+        "transform(slice(split(text, ' '), 1,"
+        "                greatest(size(split(text, ' ')) - 1, 0)),"
+        " (w, i) -> concat_ws(' ', w,"
+        "                     element_at(split(text, ' '), i + 2)))"
     )
     matched = F.array_intersect(shingles, bench)
     return docs.select(

@@ -15,6 +15,7 @@ Python UDFs are included for surface completeness only.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,7 +59,7 @@ def q_udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_pandas_vectorized",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-  CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+  CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
        * CAST(l_quantity AS BIGINT) AS DOUBLE) / 100.0 AS gross
 FROM lineitem
 """,
@@ -68,7 +69,7 @@ def q_udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(DoubleType())
     def gross(price: pd.Series, qty: pd.Series) -> pd.Series:
-        cents = (price * 100).round().astype("int64")
+        cents = np.floor(price * 100 + 0.5).astype("int64")
         return (cents * qty.astype("int64")).astype("float64") / 100.0
 
     return li.select(
@@ -85,8 +86,8 @@ def q_udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_apply_in_pandas",
     oracle="""
 SELECT o_custkey, o_orderkey,
-  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
-    / CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+    / CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
            OVER (PARTITION BY o_custkey) AS DOUBLE) AS spend_share
 FROM orders
 """,
@@ -95,7 +96,7 @@ def q_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def share(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        cents = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype("int64")
         total = cents.sum()
         return pd.DataFrame(
             {
@@ -117,7 +118,7 @@ def q_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_grouped_agg",
     oracle="""
 SELECT l_returnflag,
-  CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+  CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
            * CAST(l_quantity AS BIGINT)) AS DOUBLE)
     / (100.0 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE))
     AS weighted_disc
@@ -130,7 +131,7 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(DoubleType())
     def weighted_disc(disc: pd.Series, qty: pd.Series) -> float:
-        cents = (disc * 100).round().astype("int64")
+        cents = np.floor(disc * 100 + 0.5).astype("int64")
         q = qty.astype("int64")
         return float(int((cents * q).sum())) / (100.0 * float(int(q.sum())))
 
@@ -147,7 +148,7 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_pandas_window",
     oracle="""
 SELECT o_orderkey, o_custkey,
-  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
     AS moving_total
@@ -161,7 +162,7 @@ def q_udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(DoubleType())
     def cents_sum(price: pd.Series) -> float:
-        return float(int((price * 100).round().astype("int64").sum())) / 100.0
+        return float(int(np.floor(price * 100 + 0.5).astype("int64").sum())) / 100.0
 
     w = (
         Window.partitionBy("o_custkey")
@@ -246,7 +247,7 @@ def q_udf_explode_table_function(
     "q_udf_map_in_pandas",
     oracle="""
 SELECT s_suppkey, upper(s_name) AS uname,
-  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+  CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
 FROM supplier
 """,
 )
@@ -259,9 +260,9 @@ def q_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "s_suppkey": pdf["s_suppkey"],
                     "uname": pdf["s_name"].str.upper(),
-                    "bal_cents": (pdf["s_acctbal"] * 100)
-                    .round()
-                    .astype("int64"),
+                    "bal_cents": np.floor(
+                        pdf["s_acctbal"] * 100 + 0.5
+                    ).astype("int64"),
                 }
             )
 

@@ -51,11 +51,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer, then declare the matching stream schema and normalize to
     TIMESTAMP — the batch twin is ``sources.tables.load_table``.
     """
-    import os
-
     # Scan-level normalization (same as the batch twin): NTZ-physical
     # micros surface as TIMESTAMP, so the stream declares TimestampType
-    # and needs no per-row cast.
+    # and needs no per-row cast (which also means the probe below can
+    # only ever report 'bigint' or 'timestamp').
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, "events.parquet")
     ts_batch = dict(spark.read.parquet(path).dtypes).get("ts")
@@ -68,11 +67,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = reader.schema(_events_schema(LongType())).load(sf_dir)
         # Integer division: double division loses precision at 1.7e18 ns.
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_batch == "timestamp_ntz":
-        from pyspark.sql.types import TimestampNTZType
-
-        raw = reader.schema(_events_schema(TimestampNTZType())).load(sf_dir)
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     from pyspark.sql.types import TimestampType
 
     return reader.schema(_events_schema(TimestampType())).load(sf_dir)
@@ -131,6 +125,7 @@ def stream_stateful_user_stats(
     running (count, value-sum in cents) kept in the state store. The
     arbitrary-state API is the escape hatch for operators windowed
     aggregation can't express (e.g. cross-event session logic)."""
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -144,7 +139,13 @@ def stream_stateful_user_stats(
             n, cents = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # Explicit half-up (floor(v*100+0.5)): pandas .round() is
+            # half-to-even while the DuckDB oracle's round() is
+            # half-away — they must agree on .5 boundaries (repo
+            # invariant; same fix as stream_user_stats_tws).
+            cents += int(
+                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {
