@@ -128,6 +128,9 @@ class _AvroReader(DataSourceReader):
         # so a reordered/projected user schema cannot silently bind
         # wrong values to a column.
         self.field_names = [f.name for f in schema.fields]
+        self.field_types = {
+            f.name: f.dataType.typeName() for f in schema.fields
+        }
 
     def partitions(self):
         files = _avro_files(self.path)
@@ -146,6 +149,24 @@ class _AvroReader(DataSourceReader):
                 f"pyavro: {partition.path} lacks requested fields "
                 f"{missing} (file has {file_order})"
             )
+        # Per-file type check: a directory mixing same-named fields of
+        # different Avro types must fail loudly, not feed mistyped
+        # Python values into Spark's row pipeline.
+        for f in file_schema["fields"]:
+            name = f["name"]
+            if name not in self.field_types:
+                continue
+            typ = f["type"]
+            if isinstance(typ, list):
+                typ = typ[0] if typ[1] == "null" else typ[1]
+            spark_t = _AVRO_TO_SPARK.get(typ)
+            got = spark_t.typeName() if spark_t is not None else None
+            if got != self.field_types[name]:
+                raise ValueError(
+                    f"pyavro: {partition.path} field {name!r} has Avro "
+                    f"type {typ!r} (-> {got}), but the bound schema "
+                    f"expects {self.field_types[name]!r}"
+                )
         idx = [file_order.index(n) for n in self.field_names]
         if idx == list(range(len(file_order))):
             yield from read_container(partition.path)
@@ -168,6 +189,26 @@ class _AvroWriter(DataSourceWriter):
         self.codec = options.get("codec", "deflate")
         self.schema = schema
         self.overwrite = overwrite
+        # Overwrite keeps the bare "part" prefix so re-runs stay
+        # byte-identical (idempotent-sink contract). Append derives a
+        # fresh job index driver-side (this __init__ runs on the
+        # driver) so a second save ADDS part files instead of
+        # os.replace()-clobbering the first job's same-numbered parts.
+        self.prefix = "part"
+        if not overwrite and os.path.isdir(self.path):
+            jobs = set()
+            for name in os.listdir(self.path):
+                if not name.endswith(".avro"):
+                    continue
+                if name.startswith("part-j"):
+                    try:
+                        jobs.add(int(name.split("-")[1][1:]))
+                    except ValueError:
+                        pass
+                elif name.startswith("part-"):
+                    jobs.add(0)  # legacy/overwrite-style names = job 0
+            if jobs:
+                self.prefix = f"part-j{max(jobs) + 1}"
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -180,7 +221,7 @@ class _AvroWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         avro_schema = spark_schema_to_avro(self.schema)
         names = [f.name for f in self.schema.fields]
-        out = os.path.join(self.path, f"part-{pid:05d}.avro")
+        out = os.path.join(self.path, f"{self.prefix}-{pid:05d}.avro")
         # Stage under an attempt-unique name, then atomically rename:
         # concurrent speculative attempts never interleave bytes in the
         # final file, and the deterministic sync seed (partition id, not
@@ -198,11 +239,23 @@ class _AvroWriter(DataSourceWriter):
         return _Committed(out, n)
 
     def commit(self, messages):
+        # A zero-partition write never runs write() on any executor, so
+        # the directory may not exist yet.
+        os.makedirs(self.path, exist_ok=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 
     def abort(self, messages):
-        pass
+        # Clear staged temp files from failed/killed attempts; finished
+        # parts from committed attempts of THIS job stay (harmless —
+        # no _SUCCESS marker means readers should treat them as junk).
+        if self.path and os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if ".inprogress-" in name:
+                    try:
+                        os.unlink(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
 
 class AvroDataSource(DataSource):

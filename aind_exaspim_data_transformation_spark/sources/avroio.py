@@ -222,9 +222,34 @@ def write_container(
 
 
 def read_header(path: str) -> tuple[dict, str, bytes, int]:
-    """(schema, codec, sync marker, data start offset) of a container."""
+    """(schema, codec, sync marker, data start offset) of a container.
+
+    Reads only the header region (64 KiB probe, doubling on demand) —
+    schema inference over a directory of large containers must not
+    slurp every file.
+    """
+    probe = 65536
     with open(path, "rb") as f:
-        buf = f.read()
+        buf = f.read(probe)
+        while True:
+            try:
+                return _parse_header(buf, path)
+            except (
+                IndexError,
+                KeyError,
+                json.JSONDecodeError,
+                UnicodeDecodeError,
+            ):
+                more = f.read(probe)
+                if not more:
+                    raise ValueError(
+                        f"{path}: truncated Avro header"
+                    ) from None
+                buf += more
+                probe *= 2
+
+
+def _parse_header(buf: bytes, path: str) -> tuple[dict, str, bytes, int]:
     if buf[:4] != MAGIC:
         raise ValueError(f"{path}: not an Avro container (bad magic)")
     pos = 4
@@ -241,6 +266,8 @@ def read_header(path: str) -> tuple[dict, str, bytes, int]:
             v, pos = _read_value(buf, pos, "bytes")
             meta[k] = v
     sync = buf[pos : pos + 16]
+    if len(sync) != 16:
+        raise IndexError("truncated header probe")  # retried with more
     pos += 16
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
@@ -248,11 +275,15 @@ def read_header(path: str) -> tuple[dict, str, bytes, int]:
 
 
 def read_container(path: str) -> Iterator[tuple]:
-    """Yield rows (tuples in schema field order) from a container file."""
-    schema, codec, sync, pos = read_header(path)
-    fields = _field_types(schema)
+    """Yield rows (tuples in schema field order) from a container file.
+
+    The file is read ONCE into a single buffer shared by header and
+    block parsing (read_header is for header-only probes).
+    """
     with open(path, "rb") as f:
         buf = f.read()
+    schema, codec, sync, pos = _parse_header(buf, path)
+    fields = _field_types(schema)
     while pos < len(buf):
         count, pos = read_long(buf, pos)
         size, pos = read_long(buf, pos)

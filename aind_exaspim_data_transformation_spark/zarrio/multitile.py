@@ -265,7 +265,11 @@ def _make_global_assembler():
                 r.oy : r.oy + r.sy,
                 r.ox : r.ox + r.sx,
             ] = piece
-            nread += len(r.payload)
+            # Uncompressed piece size, so bytes_read is comparable with
+            # the per-level fallback loop (which reads raw parent voxels).
+            nread += (
+                int(r.sz) * int(r.sy) * int(r.sx) * spec.np_dtype.itemsize
+            )
         blob = encode_shard(_pad_to_shard(block, spec), spec)
         write_shard_file(store, lvl, (0, 0, iz, iy, ix), blob)
         return pd.DataFrame(

@@ -196,3 +196,80 @@ def test_datasource_honors_user_schema_by_name(spark, tmp_path):
             .load(out)
             .collect()
         )
+
+
+def test_datasource_append_adds_files(spark, tmp_path):
+    """mode('append') must ADD part files — a second job may reuse the
+    same partition ids, and clobbering job 1's part-00000 loses data."""
+    from aind_exaspim_data_transformation_spark.sources.avro_datasource import (
+        AvroDataSource,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    out = str(tmp_path / "app.avro")
+    df1 = spark.range(0, 100).repartition(2)
+    df2 = spark.range(100, 150).repartition(2)
+    df1.write.format("pyavro").mode("overwrite").save(out)
+    df2.write.format("pyavro").mode("append").save(out)
+    back = spark.read.format("pyavro").load(out)
+    assert back.count() == 150
+    assert set(r["id"] for r in back.collect()) == set(range(150))
+    # a third append keeps adding
+    spark.range(150, 160).write.format("pyavro").mode("append").save(out)
+    assert spark.read.format("pyavro").load(out).count() == 160
+
+
+def test_datasource_zero_partition_write(spark, tmp_path):
+    """An empty 0-partition DataFrame still commits a _SUCCESS marker
+    (write() never runs on any executor)."""
+    from aind_exaspim_data_transformation_spark.sources.avro_datasource import (
+        AvroDataSource,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    out = str(tmp_path / "empty.avro")
+    df = spark.createDataFrame([], "id long")
+    df.write.format("pyavro").mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_datasource_type_mismatch_rejected(spark, tmp_path):
+    """Same-named fields with different Avro types across files must
+    raise a descriptive error, not feed mistyped values to Spark."""
+    import pytest as _pytest
+
+    from aind_exaspim_data_transformation_spark.sources.avro_datasource import (
+        AvroDataSource,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    out = str(tmp_path / "mixed.avro")
+    os.makedirs(out)
+    write_container(
+        os.path.join(out, "a.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "v", "type": "long"}]},
+        [(1,), (2,)],
+    )
+    write_container(
+        os.path.join(out, "b.avro"),
+        {"type": "record", "name": "r",
+         "fields": [{"name": "v", "type": "string"}]},
+        [("x",)],
+    )
+    with _pytest.raises(Exception, match="expects"):
+        spark.read.format("pyavro").schema("v long").load(out).collect()
+
+
+def test_read_header_probes_not_slurps(tmp_path):
+    """read_header must not read the whole container (schema inference
+    over big files); offset must still be exactly the data start."""
+    p = str(tmp_path / "big.avro")
+    rows = [(i, float(i), "s" * 200, b"b" * 200, True, None)
+            for i in range(20000)]
+    write_container(p, SCHEMA, rows, codec="null")
+    schema, codec, sync, pos = read_header(p)
+    assert schema["name"] == "row" and codec == "null"
+    # header is tiny; data blocks follow immediately
+    assert pos < 4096 < os.path.getsize(p)
+    assert len(list(read_container(p))) == 20000
