@@ -65,8 +65,9 @@ def test_ivf_recall(spark, sim_matrix):
 
 
 def test_pq_recall(spark, sim_matrix):
-    # ADC shortlist 25 + exact rerank; measured 0.67.
-    assert _recall_at_3(spark, sim_matrix, "q_ann_pq", 3) >= 0.5
+    # Round-6 retune (K=64 codebook, ADC shortlist 100 + exact rerank):
+    # measured 1.0 on the 3 query vectors, 0.93 over 50 (numpy sim).
+    assert _recall_at_3(spark, sim_matrix, "q_ann_pq", 3) >= 0.8
 
 
 def test_bruteforce_is_exact(spark, sim_matrix):
