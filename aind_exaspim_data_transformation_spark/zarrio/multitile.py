@@ -110,28 +110,45 @@ MT_CASCADE_COLS = [
 
 def _mt_cascade_applicable(
     all_specs: dict[str, dict[int, ShardSpec]],
-    factor: tuple[int, int, int],
-) -> bool:
-    """Fused cascade needs EVERY tile to satisfy the single alignment
-    rule (`pipeline._cascade_divisible`: shard0 % factor^depth == 0);
-    mixed or single-level grids fall back to the level loop."""
-    from .pipeline import _cascade_divisible
+    settings: ConvertJobSettings,
+) -> dict[str, tuple[int, int, int]] | None:
+    """Per-tile cascade group multiples (in level-0 shards), or None when
+    ANY tile cannot cascade (single-level grid, or the window-aligned
+    group would exceed `pipeline.CASCADE_MAX_GROUP_BYTES`) — mixed grids
+    fall back to the level loop as one dataset."""
+    from .pipeline import cascade_group_multiple
 
-    return all(
-        len(specs) >= 2 and _cascade_divisible(specs, factor, len(specs))
-        for specs in all_specs.values()
-    )
+    out: dict[str, tuple[int, int, int]] = {}
+    for path, specs in all_specs.items():
+        if len(specs) < 2:
+            return None
+        gm = cascade_group_multiple(
+            specs,
+            settings.scale_factor,
+            len(specs),
+            settings.superchunk_multiple,
+        )
+        if gm is None:
+            return None
+        out[path] = gm
+    return out
 
 
 def _make_global_fused_writer(
     factor: tuple[int, int, int], mode: str, n_levels: int
 ):
-    """Self-describing fused copy writer: identical to `_global_writer`
-    plus the recursive per-level reduce of each level-0 block while it
-    is in memory, emitting compressed 'part' rows routed by store —
-    the multi-tile twin of the single-tile cascade (pipeline.py:
-    `_make_fused_copy_writer`). Child shard shapes come from each
-    store's own zarr.json, read once per (store, level) per worker."""
+    """Self-describing fused copy writer: reads each cascade GROUP's
+    bounding box in one source read, writes every level-0 shard in the
+    group, then recursively reduces the whole group block and emits
+    compressed 'part' rows routed by store. Reducing at group (not
+    shard) granularity is what lifts the old shard-alignment
+    precondition: the group extent is chosen window-aligned through
+    every level (`pipeline.cascade_group_multiple`), so ANY shard shape
+    cascades exactly — per-window reduce results are independent of the
+    block extent they are computed in, so group-level and shard-level
+    reduces are byte-identical where both apply. Child shard shapes come
+    from each store's own zarr.json, read once per (store, level) per
+    worker."""
     from .format import read_array_metadata
 
     from ..operators.downsample import downsample_block
@@ -146,39 +163,106 @@ def _make_global_fused_writer(
                 src = sources[row.tile_path] = open_source(row.tile_path)
             return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
 
-        for pdf in batches:
-            out = []
-            for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
+        # The group-level reduce needs every row of a group in hand, and
+        # mapInPandas may split one partition into several Arrow batches
+        # — so materialize the partition's rows (coordinates only, tiny)
+        # before grouping. Partitioning hashes the superchunk key, so a
+        # group never spans Spark partitions.
+        pdfs = [p for p in batches if len(p)]
+        all_rows = (
+            pd.concat(pdfs, ignore_index=True) if pdfs else None
+        )
+        if all_rows is not None:
+            for _, grp in all_rows.groupby("superchunk", sort=False):
+                rows = list(grp.itertuples(index=False))
+                b0 = (
+                    min(r.z0 for r in rows),
+                    min(r.y0 for r in rows),
+                    min(r.x0 for r in rows),
+                )
+                b1 = (
+                    max(r.z1 for r in rows),
+                    max(r.y1 for r in rows),
+                    max(r.x1 for r in rows),
+                )
+                bbox_vol = (
+                    (b1[0] - b0[0]) * (b1[1] - b0[1]) * (b1[2] - b0[2])
+                )
+                rows_vol = sum(
+                    (r.z1 - r.z0) * (r.y1 - r.y0) * (r.x1 - r.x0)
+                    for r in rows
+                )
+                if bbox_vol != rows_vol:
+                    raise RuntimeError(
+                        "fused cascade saw an incomplete superchunk "
+                        f"group ({len(rows)} rows, bbox {b0}..{b1}) — "
+                        "compute-pyramid runs enumerate full groups, so "
+                        "this indicates a partitioning bug"
+                    )
                 t0 = time.monotonic()
-                spec = ShardSpec(
-                    shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
-                    shard_shape=(
-                        1, 1, row.shard_z, row.shard_y, row.shard_x,
-                    ),
-                    chunk_shape=(
-                        1, 1, row.chunk_z, row.chunk_y, row.chunk_x,
-                    ),
-                    dtype=row.dtype,
-                    codec=row.codec,
-                    codec_level=row.codec_level,
-                    transpose_order=row.transpose or None,
-                )
-                blob = encode_shard(_pad_to_shard(block, spec), spec)
-                write_shard_file(
-                    row.store, 0, (0, 0, row.iz, row.iy, row.ix), blob
-                )
-                red = block
-                origin = (row.z0, row.y0, row.x0)
+                region = read_fn(rows[0], b0[0], b1[0], b0[1], b1[1],
+                                 b0[2], b1[2])
+                read_sec = (time.monotonic() - t0) / len(rows)
+                out = []
+                for row in rows:
+                    t0 = time.monotonic()
+                    block = region[
+                        row.z0 - b0[0] : row.z1 - b0[0],
+                        row.y0 - b0[1] : row.y1 - b0[1],
+                        row.x0 - b0[2] : row.x1 - b0[2],
+                    ]
+                    spec = ShardSpec(
+                        shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
+                        shard_shape=(
+                            1, 1, row.shard_z, row.shard_y, row.shard_x,
+                        ),
+                        chunk_shape=(
+                            1, 1, row.chunk_z, row.chunk_y, row.chunk_x,
+                        ),
+                        dtype=row.dtype,
+                        codec=row.codec,
+                        codec_level=row.codec_level,
+                        transpose_order=row.transpose or None,
+                    )
+                    blob = encode_shard(_pad_to_shard(block, spec), spec)
+                    write_shard_file(
+                        row.store, 0, (0, 0, row.iz, row.iy, row.ix), blob
+                    )
+                    out.append(
+                        (
+                            "stats",
+                            row.tile_path,
+                            row.store,
+                            0,
+                            row.iz,
+                            row.iy,
+                            row.ix,
+                            block.nbytes,
+                            len(blob),
+                            read_sec + time.monotonic() - t0,
+                            zlib_crc32(np.ascontiguousarray(block)),
+                            None,
+                            None,
+                            None,
+                            None,
+                            None,
+                            None,
+                            None,
+                        )
+                    )
+                red = region
+                origin = b0
+                store = rows[0].store
                 for lvl_to in range(1, n_levels):
                     red = downsample_block(red, factor, mode)
                     origin = tuple(
                         o // f for o, f in zip(origin, factor)
                     )
-                    key = (row.store, lvl_to)
+                    key = (store, lvl_to)
                     cs = child_shard.get(key)
                     if cs is None:
                         cs = child_shard[key] = read_array_metadata(
-                            row.store, lvl_to
+                            store, lvl_to
                         ).shard_shape[2:]
                     for part in _split_rows(red, origin, lvl_to, cs):
                         # part = (level, iz, iy, ix,
@@ -187,7 +271,7 @@ def _make_global_fused_writer(
                             (
                                 "part",
                                 None,
-                                row.store,
+                                store,
                                 *part[:4],
                                 None,
                                 None,
@@ -196,29 +280,7 @@ def _make_global_fused_writer(
                                 *part[4:],
                             )
                         )
-                out.append(
-                    (
-                        "stats",
-                        row.tile_path,
-                        row.store,
-                        0,
-                        row.iz,
-                        row.iy,
-                        row.ix,
-                        block.nbytes,
-                        len(blob),
-                        read_sec + time.monotonic() - t0,
-                        zlib_crc32(np.ascontiguousarray(block)),
-                        None,
-                        None,
-                        None,
-                        None,
-                        None,
-                        None,
-                        None,
-                    )
-                )
-            yield pd.DataFrame(out, columns=MT_CASCADE_COLS)
+                yield pd.DataFrame(out, columns=MT_CASCADE_COLS)
         for s in sources.values():
             s.close()
 
@@ -330,6 +392,24 @@ def build_global_tasks(
             source_levels = 1
         specs = _level_specs(settings, shapes, src.meta.dtype)
         all_specs[src_path] = specs
+        # Compute-pyramid tiles group by the window-aligned cascade
+        # grid (pipeline.cascade_group_multiple — identical to the
+        # plain superchunk grid for factor-divisible shards), so the
+        # fused cascade's group-level reduce stays exact for any shard
+        # shape. Computed here (driver, per tile) so no per-row join is
+        # needed later; if any tile can't cascade the level loop runs,
+        # for which the bigger groups are merely a read-coalescing
+        # choice.
+        key_m = sm
+        if not settings.translate_pyramid and len(shapes) > 1:
+            from .pipeline import cascade_group_multiple
+
+            key_m = (
+                cascade_group_multiple(
+                    specs, settings.scale_factor, len(shapes), sm
+                )
+                or sm
+            )
         for lvl in range(len(shapes)):
             write_array_metadata(store, lvl, specs[lvl])
         for lvl, shape in list(enumerate(shapes))[:source_levels]:
@@ -364,8 +444,8 @@ def build_global_tasks(
                                 settings.codec,
                                 settings.codec_level,
                                 settings.transpose_order or "",
-                                f"{src_path},{lvl},{iz // sm[0]},"
-                                f"{iy // sm[1]},{ix // sm[2]}",
+                                f"{src_path},{lvl},{iz // key_m[0]},"
+                                f"{iy // key_m[1]},{ix // key_m[2]}",
                             )
                         )
         write_group_metadata(
@@ -486,9 +566,12 @@ def convert_tiles_to_zarr(
         spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
     )
     compute_pyramid = not settings.translate_pyramid
-    if compute_pyramid and _mt_cascade_applicable(
-        all_specs, settings.scale_factor
-    ):
+    group_multiples = (
+        _mt_cascade_applicable(all_specs, settings)
+        if compute_pyramid
+        else None
+    )
+    if group_multiples:
         # Fused cascade: the WHOLE dataset — every tile, every pyramid
         # level — is ONE Spark job. Level-0 writes emit per-level
         # compressed reduced partials routed by (store, level, shard);
@@ -556,6 +639,7 @@ def convert_tiles_to_zarr(
             ),
             "tiles": per_tile,
             "downsample_stages": stages,
+            "pyramid_plan": "fused_cascade",
         }
 
     stats = (
@@ -580,15 +664,25 @@ def convert_tiles_to_zarr(
     }
 
     if compute_pyramid:
-        # Fallback for factor^depth-indivisible shard grids: computed
-        # pyramid levels run sequentially (level k depends on k-1,
-        # reference A2) — but within a level EVERY tile's shards go
-        # into ONE store-routed Spark action. Job count per level is
-        # therefore independent of the tile count (a 100-tile dataset
-        # schedules L-1 actions, not 100*(L-1)).
+        # Fallback when no window-aligned cascade group fits the memory
+        # cap (or grids are mixed/single-level): computed pyramid levels
+        # run sequentially (level k depends on k-1, reference A2) — but
+        # within a level EVERY tile's shards go into ONE store-routed
+        # Spark action. Job count per level is therefore independent of
+        # the tile count (a 100-tile dataset schedules L-1 actions, not
+        # 100*(L-1)).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "computed pyramid falls back to the per-level store-read "
+            "loop (no window-aligned cascade group within the memory "
+            "cap for every tile) — expect ~2.5x the fused-cascade wall "
+            "time"
+        )
         result["downsample_stages"] = _run_downsample_levels(
             spark, tiles, all_specs, settings
         )
+        result["pyramid_plan"] = "level_loop"
     return result
 
 

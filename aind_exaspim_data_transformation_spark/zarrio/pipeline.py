@@ -9,10 +9,11 @@ Spark-first re-expression of the reference's distributed conversion
 - the shard executor (reference process_single_shard, :375-462) becomes a
   ``mapInPandas`` writer UDF returning a stats row per shard;
 - pyramid translate = same plan over every source level; pyramid compute =
-  ONE fused job when the shard grid divides factor^depth (the level-0
-  writer reduces each block recursively and emits per-level partials;
-  a single shuffle of compressed reduced voxels assembles every deeper
-  level — the parent level is never re-read from the store), else a
+  ONE fused job whenever a window-aligned superchunk group fits the
+  memory cap (cascade_group_multiple — the level-0 writer reduces each
+  group's bounding box recursively and emits per-level partials; a single
+  shuffle of compressed reduced voxels assembles every deeper level — the
+  parent level is never re-read from the store), else a
   driver-side level loop (inherent dependency, reference :677-799), each
   level one Spark action whose UDF reads the previous level from the store
   and applies the block-local downsample kernel (partial aggregation: only
@@ -27,6 +28,7 @@ the property the reference relies on for SLURM re-runs.
 
 from __future__ import annotations
 
+import math
 import time
 from collections.abc import Iterator
 
@@ -271,20 +273,48 @@ def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec])
     return writer
 
 
-def _cascade_divisible(
+#: Memory guard for the fused cascade's group read buffer: the group
+#: bounding box (raw voxels) a single task holds in memory. Pathological
+#: shard shapes (e.g. a 101-voxel odd shard under a depth-4 factor-2
+#: pyramid) would need gigabyte groups to stay window-aligned; past this
+#: bound the per-level loop runs instead.
+CASCADE_MAX_GROUP_BYTES = 1 << 30
+
+
+def cascade_group_multiple(
     specs: dict[int, ShardSpec],
     factor: tuple[int, int, int],
     n_levels: int,
-) -> bool:
-    """The fused cascade repeatedly reduces each level-0 block in the
-    writer, so every reduced block's origin must stay on the next
-    factor's window grid: shard0 % factor^(n_levels-1) == 0 per axis.
-    Power-of-two pyramids with power-of-two shards always qualify; odd
-    shapes fall back to the store-read loop."""
+    superchunk_multiple: tuple[int, int, int],
+    max_group_bytes: int = CASCADE_MAX_GROUP_BYTES,
+) -> tuple[int, int, int] | None:
+    """Per-axis superchunk multiple (in level-0 shards) that makes every
+    cascade group exactly window-aligned at every pyramid level, or None
+    when the required group exceeds ``max_group_bytes``.
+
+    The fused cascade reduces each group's bounding box recursively, so
+    a group's origin and extent must stay on the window grid through
+    n_levels-1 reduce steps: group_extent % factor^(n_levels-1) == 0 per
+    axis (groups clamped at the array edge are exempt — their truncated
+    trailing windows are genuine global edge windows at every level).
+    The minimal such multiple is superchunk_multiple scaled by
+    factor^(n_levels-1) / gcd(superchunk_extent, factor^(n_levels-1)) —
+    1 for the common power-of-two shard/factor configs, so the aligned
+    case reads exactly the groups it always did."""
+    if n_levels < 2:
+        return None
     shard0 = specs[0].shard_shape[2:]
-    return all(
-        s % f ** (n_levels - 1) == 0 for s, f in zip(shard0, factor)
-    )
+    dims = specs[0].shape[2:]
+    csm = []
+    for sm, sh, f in zip(superchunk_multiple, shard0, factor):
+        t = f ** (n_levels - 1)
+        csm.append(sm * (t // math.gcd(sm * sh, t)))
+    group_bytes = specs[0].np_dtype.itemsize
+    for c, sh, d in zip(csm, shard0, dims):
+        group_bytes *= min(c * sh, d)
+    if group_bytes > max_group_bytes:
+        return None
+    return tuple(csm)
 
 
 def _read_reduced_region(
@@ -466,7 +496,13 @@ def convert_to_zarr(
         spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
     )
     compute_pyramid = not settings.translate_pyramid and n_levels > 1
-    if compute_pyramid and _cascade_divisible(specs, factor, n_levels):
+    pyramid_plan = None
+    if compute_pyramid:
+        gm = cascade_group_multiple(
+            specs, factor, n_levels, settings.superchunk_multiple
+        )
+        pyramid_plan = "level_loop" if gm is None else "fused_cascade"
+    if pyramid_plan == "fused_cascade":
         # Fused cascade: the whole pyramid is ONE job — level-0 writes
         # emit reduced partials for every level, one shuffle keyed by
         # target shard assembles all deeper levels, and the parent
@@ -508,6 +544,18 @@ def convert_to_zarr(
             )
         ]
         if compute_pyramid:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "computed pyramid falls back to the per-level store-read "
+                "loop (the cascade's window-aligned group would exceed "
+                "%d bytes for shard %s / factor %s / depth %d) — expect "
+                "~2.5x the fused-cascade wall time",
+                CASCADE_MAX_GROUP_BYTES,
+                specs[0].shard_shape[2:],
+                factor,
+                n_levels,
+            )
             stages[0]["level"] = 0
             # Sequential level loop: level k depends on k-1 (reference
             # A2). Partition by shard coords, NOT superchunk — the
@@ -550,9 +598,14 @@ def convert_to_zarr(
         ),
     )
     src.close()
-    return {
+    result = {
         "n_levels": n_levels,
         "shapes": shapes,
         "stages": stages,
         "store": store,
     }
+    if pyramid_plan is not None:
+        # Explicit plan-choice record: which pyramid strategy ran, so a
+        # user on the slow path sees it in the stats, not just the log.
+        result["pyramid_plan"] = pyramid_plan
+    return result

@@ -34,18 +34,27 @@ def _tree_hash(root: str) -> dict[str, str]:
     return out
 
 
-def _convert(spark, out, shape, mode, levels, force_loop):
-    orig = pipeline._cascade_divisible
+def _convert(
+    spark,
+    out,
+    shape,
+    mode,
+    levels,
+    force_loop,
+    shard=(64, 64, 64),
+    chunk=(32, 32, 32),
+):
+    orig = pipeline.cascade_group_multiple
     if force_loop:
-        pipeline._cascade_divisible = lambda *a: False
+        pipeline.cascade_group_multiple = lambda *a, **k: None
     try:
         return pipeline.convert_to_zarr(
             spark,
             ConvertJobSettings(
                 input_source=f"synth://{shape},1",
                 output_location=out,
-                chunk_shape=(32, 32, 32),
-                shard_shape=(64, 64, 64),
+                chunk_shape=chunk,
+                shard_shape=shard,
                 translate_pyramid=False,
                 downsample_levels=levels,
                 downsample_mode=mode,
@@ -54,7 +63,7 @@ def _convert(spark, out, shape, mode, levels, force_loop):
             ),
         )
     finally:
-        pipeline._cascade_divisible = orig
+        pipeline.cascade_group_multiple = orig
 
 
 @pytest.mark.parametrize(
@@ -80,18 +89,93 @@ def test_cascade_matches_loop_bytes(spark, shape, mode, levels):
             assert sa["bytes_written"] == sb["bytes_written"]
 
 
-def test_cascade_used_for_pow2_grid(spark):
-    """The divisibility gate: 64^3 shards, factor 2, 3 levels -> fused;
-    a shard grid that can't hold factor^depth alignment -> loop."""
-    specs3 = {
-        0: type("S", (), {"shard_shape": (1, 1, 64, 64, 64)})(),
+def _specs(shard, shape=(4096, 4096, 4096)):
+    from aind_exaspim_data_transformation_spark.zarrio.format import (
+        ShardSpec,
+    )
+
+    return {
+        0: ShardSpec(
+            shape=(1, 1, *shape),
+            shard_shape=(1, 1, *shard),
+            chunk_shape=(1, 1, *shard),
+            dtype="uint16",
+            codec="zstd",
+            codec_level=3,
+        ),
+        1: None,  # only level count matters to the gate
     }
-    assert pipeline._cascade_divisible(specs3, (2, 2, 2), 3)
-    specs_odd = {
-        0: type("S", (), {"shard_shape": (1, 1, 48, 48, 48)})(),
-    }
-    assert not pipeline._cascade_divisible(specs_odd, (2, 2, 2), 6)
-    assert not pipeline._cascade_divisible(specs_odd, (3, 3, 3), 3)
+
+
+def test_cascade_group_multiple_gate():
+    """The group-alignment gate: power-of-two configs keep the plain
+    superchunk grouping; factor-indivisible shards get a scaled (but
+    small) aligned group; pathological shards that would need a
+    gigabyte group fall back (None)."""
+    sm = (2, 1, 1)
+    # 64^3 shards, factor 2, depth 3: already aligned, group == sm.
+    assert pipeline.cascade_group_multiple(
+        _specs((64, 64, 64)), (2, 2, 2), 3, sm
+    ) == (2, 1, 1)
+    # 48^3 shards at depth 6 (48 % 32 != 0 — the OLD gate rejected
+    # this): a (2,2,2)-shard group (96^3 voxels) is 32-aligned.
+    assert pipeline.cascade_group_multiple(
+        _specs((48, 48, 48)), (2, 2, 2), 6, sm
+    ) == (2, 2, 2)
+    # factor 3: 48 has one factor of 3, depth 3 needs 9 -> triple the
+    # y/x group; z already has sm=2 -> 96 -> needs m=3 as well.
+    assert pipeline.cascade_group_multiple(
+        _specs((48, 48, 48)), (3, 3, 3), 3, sm
+    ) == (6, 3, 3)
+    # Odd 101^3 shard at depth 5 needs 1616-voxel groups -> over the
+    # 1 GiB cap -> loop.
+    assert (
+        pipeline.cascade_group_multiple(
+            _specs((101, 101, 101)), (2, 2, 2), 5, sm
+        )
+        is None
+    )
+    # Single level: nothing to cascade.
+    assert (
+        pipeline.cascade_group_multiple(
+            {0: _specs((64, 64, 64))[0]}, (2, 2, 2), 1, sm
+        )
+        is None
+    )
+    # The byte estimate clamps the group to the array shape: the same
+    # odd shard on a small array fits and cascades.
+    assert pipeline.cascade_group_multiple(
+        _specs((101, 101, 101), shape=(300, 300, 300)), (2, 2, 2), 5, sm
+    ) == (16, 16, 16)
+
+
+@pytest.mark.parametrize(
+    "shape,mode,levels,shard,chunk",
+    [
+        # 18 % 2^2 != 0: the OLD alignment gate rejected these; the
+        # group-aligned cascade (36-voxel groups) must still be
+        # byte-identical to the store-read loop.
+        ("100,80,60", "mean", 3, (18, 18, 18), (6, 6, 6)),
+        ("90,66,50", "mode", 3, (18, 18, 18), (9, 9, 9)),
+        ("100,80,60", "stride", 4, (20, 20, 20), (10, 10, 10)),
+    ],
+)
+def test_misaligned_cascade_matches_loop_bytes(
+    spark, shape, mode, levels, shard, chunk
+):
+    with tempfile.TemporaryDirectory() as tmp:
+        a = os.path.join(tmp, "cascade.zarr")
+        b = os.path.join(tmp, "loop.zarr")
+        ra = _convert(
+            spark, a, shape, mode, levels, False, shard=shard, chunk=chunk
+        )
+        rb = _convert(
+            spark, b, shape, mode, levels, True, shard=shard, chunk=chunk
+        )
+        # The plan-choice record says which path each run took.
+        assert ra["pyramid_plan"] == "fused_cascade"
+        assert rb["pyramid_plan"] == "level_loop"
+        assert _tree_hash(a) == _tree_hash(b)
 
 
 def test_cascade_idempotent_rerun(spark):
