@@ -1,12 +1,14 @@
-"""Pure-stdlib image codecs: PNG (RGB8) and BMP (24-bit BI_RGB).
+"""Pure-stdlib media codecs: PNG (RGB8), BMP (24-bit BI_RGB), and WAV
+(RIFF 16-bit PCM).
 
-Both formats are public specs (PNG: RFC 2083 / ISO 15948; BMP: the
-Windows BITMAPINFOHEADER layout) and decode with nothing beyond
+All three formats are public specs (PNG: RFC 2083 / ISO 15948; BMP: the
+Windows BITMAPINFOHEADER layout; WAV: the RIFF multimedia format,
+summarized in RFC 2361) and decode with nothing beyond
 ``zlib``/``struct``/numpy, which makes real media decode possible in
-this container (no PIL/imageio). They back ``operators.multimodal.
-decode_media`` for the ``png``/``bmp`` formats: the north-star
-multimodal surface's decode step is real, not a stub, for these
-formats.
+this container (no PIL/imageio/soundfile). They back
+``operators.multimodal.decode_media`` for the ``png``/``bmp``/``wav``
+formats: the north-star multimodal surface's decode step is real, not a
+stub, for both the image and audio modalities.
 
 Scope: 8-bit/channel truecolor. The PNG decoder implements the full
 filter set (None/Sub/Up/Average/Paeth, bytewise per the spec) and
@@ -217,3 +219,94 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         r = i if top_down else h - 1 - i
         out[r] = row[:, ::-1]  # BGR -> RGB
     return out
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF + 16-bit PCM) — the audio analog of the PNG/BMP codecs above.
+# RIFF is a public spec (Microsoft/IBM 1991 multimedia file format;
+# summarized in RFC 2361): little-endian chunks, each word-aligned with a
+# pad byte after odd-sized bodies. Scope: format code 1 (integer PCM),
+# 16 bits/sample, any channel count / sample rate; other format codes and
+# bit depths raise ValueError.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(arr: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 samples — (n,) mono or (n, channels) — as a WAV
+    (RIFF) file with a standard 16-byte PCM fmt chunk."""
+    if arr.dtype != np.int16 or arr.ndim not in (1, 2):
+        raise ValueError("encode_wav expects (n,) or (n, ch) int16")
+    ch = 1 if arr.ndim == 1 else arr.shape[1]
+    data = np.ascontiguousarray(arr.astype("<i2")).tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_chunks(payload: bytes):
+    """Walk RIFF sub-chunks: yields (tag, start, size) honoring the
+    word-alignment pad after odd-sized chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE magic)")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(8 + riff_size, len(payload))
+    pos = 12
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        yield tag, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Decode a 16-bit PCM WAV into int16 samples: (n,) for mono,
+    (n_frames, channels) otherwise. Unknown chunks (LIST, fact, cue…)
+    are skipped per the RIFF walking rules; a data chunk before fmt,
+    a non-PCM format code, or a non-16 bit depth raise ValueError."""
+    fmt = None
+    for tag, start, size in _wav_chunks(payload):
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk shorter than 16 bytes")
+            fmt = struct.unpack("<HHIIHH", payload[start : start + 16])
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            code, ch, _rate, _bps, _align, bits = fmt
+            if code != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format code {code}, {bits}-bit); "
+                    "only 16-bit integer PCM supported"
+                )
+            n = min(size, len(payload) - start) // 2
+            samples = np.frombuffer(payload, "<i2", n, start)
+            if ch > 1:
+                samples = samples[: (n // ch) * ch].reshape(-1, ch)
+            return samples.astype(np.int16, copy=False)
+    raise ValueError("WAV has no data chunk")
+
+
+def wav_info(payload: bytes) -> dict:
+    """fmt-chunk metadata (channels / sample_rate / bits) without
+    touching sample data — the cheap metadata-probe path."""
+    for tag, start, size in _wav_chunks(payload):
+        if tag == b"fmt " and size >= 16:
+            code, ch, rate, _bps, _align, bits = struct.unpack(
+                "<HHIIHH", payload[start : start + 16]
+            )
+            return {
+                "format_code": code,
+                "channels": ch,
+                "sample_rate": rate,
+                "bits": bits,
+            }
+    raise ValueError("WAV has no fmt chunk")

@@ -2,9 +2,9 @@
 frame-sample over opaque binary payloads (north-star surface).
 
 The Spark-side plumbing is real — schemas, Arrow batching via
-``mapInPandas``, partition behavior — and so is image decode for PNG
-and BMP (pure-stdlib codecs in ``operators.media_codecs``). Formats
-that need external libraries (jpeg/wav/mp4) raise
+``mapInPandas``, partition behavior — and so is media decode for PNG,
+BMP, and WAV (pure-stdlib codecs in ``operators.media_codecs``).
+Formats that need external libraries (jpeg/mp4) raise
 ``NotImplementedError``; a deterministic fake codec
 (``fake-rgb8``/``fake-pcm16``) additionally exercises the full path in
 tests without any codec in the loop.
@@ -44,10 +44,10 @@ def encode_fake_rgb8(arr: np.ndarray) -> bytes:
 
 
 def decode_media(payload: bytes, media_format: str) -> np.ndarray:
-    """Decode one payload. PNG (8-bit grey/RGB) and BMP (24-bit) decode
-    for real via the pure-stdlib codecs in ``operators.media_codecs``;
-    formats needing external libraries (jpeg/wav/mp4) stay stubbed —
-    plug a decoder in here."""
+    """Decode one payload. PNG (8-bit grey/RGB), BMP (24-bit), and WAV
+    (16-bit PCM) decode for real via the pure-stdlib codecs in
+    ``operators.media_codecs``; formats needing external libraries
+    (jpeg/mp4) stay stubbed — plug a decoder in here."""
     if media_format == "png":
         from .media_codecs import decode_png
 
@@ -56,6 +56,10 @@ def decode_media(payload: bytes, media_format: str) -> np.ndarray:
         from .media_codecs import decode_bmp
 
         return decode_bmp(payload)
+    if media_format == "wav":
+        from .media_codecs import decode_wav
+
+        return decode_wav(payload)
     if media_format == FAKE_RGB8:
         h = int.from_bytes(payload[0:2], "little")
         w = int.from_bytes(payload[2:4], "little")

@@ -237,3 +237,123 @@ def q_multimodal_image_decode_stats(
         "doc_id long, media_format string, height int, width int, "
         "sum_r long, sum_g long, sum_b long, mean_r double",
     )
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode in the loop: each doc gets a deterministic int16
+# waveform (a pure function of doc_id / sample index / channel), encoded
+# to real WAV (RIFF 16-bit PCM) bytes — mono with an interposed LIST
+# chunk for even doc_ids (exercising the chunk-walk + odd-size pad
+# rules), interleaved stereo for odd — then DECODED back via
+# operators.media_codecs.decode_wav and aggregated. The DuckDB oracle
+# recomputes the identical stats straight from the sample formula, so a
+# codec bug anywhere in encode OR decode breaks the cross-engine hash.
+# Same 100 TB shape as the image twin: map-only, payloads never shuffle.
+# --------------------------------------------------------------------------
+WAV_BASE_N = 50  # samples per doc = WAV_BASE_N + doc_id % WAV_N_MOD
+WAV_N_MOD = 23
+
+_AUDIO_ORACLE = f"""
+WITH params AS (
+  SELECT doc_id, {WAV_BASE_N} + doc_id % {WAV_N_MOD} AS n,
+    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS nch
+  FROM documents),
+s AS (
+  SELECT p.doc_id, c.ch, t.i,
+    ((p.doc_id * 31 + t.i * 17 + c.ch * 137) % 4001) - 2000 AS v
+  FROM params p, range(0, {WAV_BASE_N + WAV_N_MOD}) t(i), range(0, 2) c(ch)
+  WHERE t.i < p.n AND c.ch < p.nch),
+zc AS (
+  SELECT a.doc_id, COUNT(*) AS zcount
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.ch = b.ch
+    AND b.i = a.i + 1
+  WHERE (a.v < 0) != (b.v < 0)
+  GROUP BY a.doc_id)
+SELECT p.doc_id,
+  CASE WHEN p.nch = 1 THEN 'wav_mono' ELSE 'wav_stereo' END
+    AS media_format,
+  CAST(p.n * p.nch AS BIGINT) AS n_values,
+  CAST(SUM(s.v) AS BIGINT) AS sum_v,
+  CAST(SUM(ABS(s.v)) AS BIGINT) AS sum_abs,
+  CAST(MAX(ABS(s.v)) AS INT) AS peak,
+  CAST(COALESCE(MAX(z.zcount), 0) AS BIGINT) AS zero_cross
+FROM params p
+JOIN s ON s.doc_id = p.doc_id
+LEFT JOIN zc z ON z.doc_id = p.doc_id
+GROUP BY p.doc_id, p.nch, p.n
+"""
+
+
+@query("q_multimodal_audio_decode_stats", oracle=_AUDIO_ORACLE)
+def q_multimodal_audio_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import struct
+
+    from ..operators.media_codecs import encode_wav
+    from ..operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def with_list_chunk(wav: bytes) -> bytes:
+        # Splice an odd-sized LIST chunk between fmt and data (RIFF
+        # requires the pad byte after it) and fix up the RIFF size.
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        out = wav[:36] + extra + wav[36:]
+        return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = WAV_BASE_N + d % WAV_N_MOD
+                nch = 1 if d % 2 == 0 else 2
+                ii = np.arange(n, dtype=np.int64)[:, None]
+                cc = np.arange(nch, dtype=np.int64)[None, :]
+                wave = (
+                    ((d * 31 + ii * 17 + cc * 137) % 4001) - 2000
+                ).astype(np.int16)
+                if nch == 1:
+                    payload = with_list_chunk(encode_wav(wave[:, 0]))
+                    fmt = "wav_mono"
+                else:
+                    payload = encode_wav(wave)
+                    fmt = "wav_stereo"
+                dec = decode_media(payload, "wav")
+                dec2 = dec.reshape(-1, nch)
+                a = dec2.astype(np.int64)
+                zc = int(
+                    np.sum(
+                        np.signbit(dec2[1:]) != np.signbit(dec2[:-1])
+                    )
+                )
+                out.append(
+                    (
+                        d,
+                        fmt,
+                        int(a.size),
+                        int(a.sum()),
+                        int(np.abs(a).sum()),
+                        int(np.abs(a).max()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_format",
+                    "n_values",
+                    "sum_v",
+                    "sum_abs",
+                    "peak",
+                    "zero_cross",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, media_format string, n_values long, sum_v long, "
+        "sum_abs long, peak int, zero_cross long",
+    )

@@ -108,3 +108,97 @@ def test_rejects_garbage():
         decode_png(b"not a png at all")
     with pytest.raises(ValueError):
         decode_bmp(b"XX bogus")
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF 16-bit PCM)
+# ---------------------------------------------------------------------------
+import struct
+
+from aind_exaspim_data_transformation_spark.operators.media_codecs import (
+    decode_wav,
+    encode_wav,
+    wav_info,
+)
+
+
+def _wave(n, ch=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (n,) if ch is None else (n, ch)
+    return rng.integers(-32768, 32768, shape).astype(np.int16)
+
+
+@pytest.mark.parametrize("n", [1, 7, 64, 1001])
+def test_wav_roundtrip_mono(n):
+    w = _wave(n, seed=n)
+    assert np.array_equal(decode_wav(encode_wav(w)), w)
+
+
+@pytest.mark.parametrize("n,ch", [(5, 2), (64, 2), (9, 3), (100, 6)])
+def test_wav_roundtrip_multichannel(n, ch):
+    w = _wave(n, ch, seed=n * 10 + ch)
+    got = decode_wav(encode_wav(w, sample_rate=44100))
+    assert got.shape == (n, ch)
+    assert np.array_equal(got, w)
+
+
+def test_wav_info_and_header_fields():
+    w = _wave(32, 2, seed=3)
+    payload = encode_wav(w, sample_rate=22050)
+    info = wav_info(payload)
+    assert info == {
+        "format_code": 1,
+        "channels": 2,
+        "sample_rate": 22050,
+        "bits": 16,
+    }
+    # RIFF size field covers everything after the first 8 bytes.
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    assert riff_size == len(payload) - 8
+
+
+def test_wav_skips_unknown_chunks_with_odd_size_padding():
+    w = _wave(21, seed=9)
+    payload = encode_wav(w)
+    # Splice an odd-sized LIST chunk (body 5 -> 1 pad byte) between fmt
+    # and data, and fix the RIFF size.
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:36] + extra + payload[36:]
+    spliced = (
+        spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    )
+    assert np.array_equal(decode_wav(spliced), w)
+    assert wav_info(spliced)["channels"] == 1
+
+
+def test_wav_decode_media_dispatch():
+    w = _wave(17, seed=4)
+    got = decode_media(encode_wav(w), "wav")
+    assert got.dtype == np.int16
+    assert np.array_equal(got, w)
+
+
+def test_wav_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not a wav at all")
+    w = _wave(8, seed=1)
+    payload = bytearray(encode_wav(w))
+    # Flip the format code to 3 (IEEE float): unsupported.
+    payload[20:22] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="format code 3"):
+        decode_wav(bytes(payload))
+    payload = bytearray(encode_wav(w))
+    # Flip bits/sample to 8: unsupported depth.
+    payload[34:36] = struct.pack("<H", 8)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_wav(bytes(payload))
+    with pytest.raises(ValueError, match="expects"):
+        encode_wav(w.astype(np.int32))
+
+
+def test_wav_truncated_data_chunk_clamps():
+    # A data chunk whose declared size exceeds the file decodes the
+    # samples that exist (defensive read path).
+    w = _wave(10, seed=2)
+    payload = encode_wav(w)
+    assert np.array_equal(decode_wav(payload[:-4]), w[:-2])
