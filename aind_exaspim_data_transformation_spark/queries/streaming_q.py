@@ -189,24 +189,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # transformWithStateInPandas (the Spark 4.x arbitrary-state successor to
-# applyInPandasWithState) speaks a protobuf-based state-server protocol,
-# so the query registers only where google.protobuf is importable — this
-# container ships pyspark without it. The operator itself
-# (``streaming.events.stream_user_stats_tws``) and its batch-equivalence
-# test (``tests/test_streaming_tws.py``, importorskip-gated) are always
-# present.
-try:  # pragma: no cover - environment probe
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
-
-    _HAS_PROTOBUF = True
-except ImportError:  # pragma: no cover
-    _HAS_PROTOBUF = False
-
-if _HAS_PROTOBUF:
-
-    @query(
-        "q_stream_tws_user_stats",
-        oracle="""
+# applyInPandasWithState) speaks a protobuf-based state-server protocol.
+# This container ships pyspark WITHOUT google.protobuf; the from-spec
+# runtime shim (``protoshim``) provides it — installed driver-side by
+# the operator and worker-side by the processor's unpickle hook — so the
+# query registers unconditionally and runs end-to-end either way.
+@query(
+    "q_stream_tws_user_stats",
+    oracle="""
 SELECT user_id, COUNT(*) AS n_events,
   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
     AS sum_value,
@@ -215,29 +205,32 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM events
 GROUP BY user_id
 """,
-    )
-    def q_stream_tws_user_stats(
-        spark: SparkSession, sf_dir: str
-    ) -> DataFrame:
-        """Typed ValueState per user holding (count, cents, first/last
-        micros). The memory sink appends one row per key per
-        micro-batch in update mode, so the result keeps only the LAST
-        update per user (``n_events`` strictly increases per update, so
-        max-``n_events`` is that final state) — correct whether
-        availableNow yields one micro-batch or many. Cents use explicit
-        half-up rounding, matching the oracle's ``floor(v*100+0.5)``."""
-        name = _unique("stream_tws")
+)
+def q_stream_tws_user_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Typed ValueState per user holding (count, cents, first/last
+    micros). The memory sink appends one row per key per
+    micro-batch in update mode, so the result keeps only the LAST
+    update per user (``n_events`` strictly increases per update, so
+    max-``n_events`` is that final state) — correct whether
+    availableNow yields one micro-batch or many. Cents use explicit
+    half-up rounding, matching the oracle's ``floor(v*100+0.5)``."""
+    from ..streaming.events import tws_state_store
+
+    name = _unique("stream_tws")
+    with tws_state_store(spark):
         run_to_memory(
             stream_user_stats_tws(spark, sf_dir),
             name,
             output_mode="update",
         )
-        rk = F.row_number().over(
-            Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-        )
-        return (
-            spark.table(name)
-            .withColumn("_rk", rk)
-            .where(F.col("_rk") == 1)
-            .drop("_rk")
-        )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        spark.table(name)
+        .withColumn("_rk", rk)
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

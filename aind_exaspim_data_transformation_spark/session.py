@@ -17,6 +17,30 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _ensure_protoshim_pythonpath() -> None:
+    """When no real google.protobuf exists, expose the from-spec shim's
+    vendor package to Python WORKER processes via PYTHONPATH — it must
+    be in the env BEFORE the JVM launches (workers inherit the JVM's
+    env). A regular ``google`` package on any sys.path entry beats the
+    namespace-package portions Python otherwise assembles from Spark's
+    jars (spark-core contains a ``google/`` resource directory), which
+    is exactly the shadowing the TWS state clients trip over."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    from .protoshim import vendor_path
+
+    vp = vendor_path()
+    current = os.environ.get("PYTHONPATH", "")
+    if vp not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{vp}{os.pathsep}{current}" if current else vp
+        )
+
+
 def get_spark(
     app_name: str = "exaspim-spark-engine",
     cpus: int | None = None,
@@ -28,6 +52,7 @@ def get_spark(
     everything here is master-agnostic except the local[] fallback.
     """
     cpus = cpus or DEFAULT_CPUS
+    _ensure_protoshim_pythonpath()
     builder = (
         SparkSession.builder.appName(app_name)
         # Adaptive execution: runtime shuffle-partition coalescing, skew-join

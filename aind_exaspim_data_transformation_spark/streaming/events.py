@@ -205,12 +205,50 @@ def run_to_memory(
     q.awaitTermination()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def tws_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider around a
+    ``transformWithStateInPandas`` run. TWS stores each state variable
+    in its own column family, which the default HDFS-backed provider
+    rejects (``multipleColumnFamiliesNotSupported``); RocksDB ships in
+    the Spark distribution. Scoped (the conf is read at query start) so
+    other streaming queries in the same session keep whatever provider
+    their existing checkpoints were created with."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running stats via ``transformWithStateInPandas`` — the
     Spark 4.x successor to ``applyInPandasWithState`` (typed state
     variables on the new operator's state store; timers/TTL available).
     Keeps (count, value-cents, first/last event micros) in a ValueState
     and emits the refreshed row per key per micro-batch.
+
+    Run it under ``tws_state_store(spark)`` (RocksDB provider). Where
+    the container has no google.protobuf, the from-spec shim
+    (``protoshim``) provides the state-protocol runtime: installed here
+    for the driver, via PYTHONPATH for pre-JVM sessions
+    (``session.get_spark``), and — covering ANY session — re-installed
+    at unpickle time in each Python worker by the processor's
+    ``__setstate__`` before the state clients' first lazy protobuf
+    import. (Spark's jars contain a ``google/`` resource dir that
+    Python would otherwise assemble into an empty namespace package.)
 
     Money is accumulated in integer cents and event times in integer
     micros, so the emitted doubles/strings are exact regardless of how
@@ -223,7 +261,26 @@ def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming import StatefulProcessor
 
+    from ..protoshim import ensure_spark_visibility
+
+    ensure_spark_visibility(spark)
+
     class UserStats(StatefulProcessor):
+        def __getstate__(self):
+            return self.__dict__
+
+        def __setstate__(self, state):
+            # Runs in the worker during UDF unpickling — i.e. BEFORE
+            # the TWS pre-init handshake imports StateMessage_pb2 —
+            # so the shim is in place no matter how the session was
+            # created. No-op where real protobuf exists.
+            from aind_exaspim_data_transformation_spark.protoshim import (
+                install,
+            )
+
+            install()
+            self.__dict__.update(state)
+
         def init(self, handle) -> None:
             self._state = handle.getValueState(
                 "stats",
