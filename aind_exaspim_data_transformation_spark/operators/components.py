@@ -74,6 +74,13 @@ def connected_components(
     propagation with pointer jumping runs in O(log diameter) rounds.
     Pass ``collect_threshold=0`` to force the distributed path.
     """
+    # The edge list is consumed at least twice (threshold count +
+    # either the driver collect or the symmetrized build) and its
+    # lineage is typically an expensive candidate-pair join — pin it
+    # once instead of recomputing the whole pair generation per action.
+    # localCheckpoint (not persist) so the blocks are owned by the RDD
+    # and freed on GC; callers keep a lazy-plan API.
+    edges = edges.select(src, dst).localCheckpoint(eager=False)
     if collect_threshold and edges.count() <= collect_threshold:
         return _union_find_components(edges, src, dst)
     sym = (

@@ -84,3 +84,63 @@ SQL_DISC_PRICE = (
 SQL_CHARGE = (
     f"({SQL_DISC_PRICE} * (CAST(1 AS {SQL_DEC}) + CAST(l_tax AS {SQL_DEC})))"
 )
+
+
+# --------------------------------------------------------------------------
+# Scan fan-out for CPU-bound per-row work (shared by the dedup and
+# similarity families).
+# --------------------------------------------------------------------------
+_BYTE_UNITS = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def parse_bytes(value) -> int:
+    """Spark byte-size conf values arrive either as a plain number or
+    in human form ('128MB', '64m'); int(str(v).rstrip('b')) crashed on
+    the human spellings a user session can legitimately set."""
+    s = str(value).strip().lower()
+    num = s.rstrip("kmgtb")
+    unit = s[len(num):]
+    return int(float(num) * _BYTE_UNITS[unit])
+
+
+def fan_out_small_scan(df):
+    """Repartition a scan whose downstream work is CPU-bound when the
+    file layout cannot yield enough tasks. A small single-row-group
+    parquet file scans as ONE task no matter the split config, so at
+    bench scale we pay a (tiny) shuffle to use every core. At 100 TB
+    the scan has >> defaultParallelism partitions and this branch never
+    triggers — no shuffle on the real path. The check is driver-side
+    file metadata only (no RDD conversion, no job): few files AND total
+    bytes below target * maxPartitionBytes means Spark cannot plan
+    enough scan tasks on its own."""
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < target:
+        max_pb = parse_bytes(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+        )
+        try:
+            total = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+        except OSError:  # non-local scheme: size unknown, assume small
+            total = 0
+        if total < target * max_pb:
+            df = df.repartition(target)
+    return df

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .lifecycle import track_persist
 from .registry import query
 
 _SAMPLE_FRACTION = 0.5  # target kept fraction of the corpus
@@ -295,10 +296,10 @@ def q_docs_training_pipeline(
     """filter -> dedup -> resample -> pack as one lazy plan; the corpus
     text is read once and each stage's shuffle moves only survivors.
 
-    The survivor cache lives for the SparkSession (the returned
-    DataFrame is lazy, so the function cannot unpersist it); repeated
-    invocations re-cache the same small metadata relation and long-lived
-    sessions should ``spark.catalog.clearCache()`` between corpora."""
+    The survivor cache cannot be unpersisted here (the returned
+    DataFrame is lazy); long-lived sessions should run the query
+    through ``lifecycle.managed_query``, which unpersists exactly this
+    intermediate when the caller's scope exits."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     n = F.size(ws)
@@ -342,8 +343,8 @@ def q_docs_training_pipeline(
             "n_words",
             _domain_col().alias("domain"),
         )
-        .cache()
     )
+    deduped = track_persist(deduped)
     probs = _temperature_probs(deduped)
     u = _uniform_col(F.col("doc_id").cast("string"))
     sampled = (

@@ -12,39 +12,16 @@ the bucket, and per-bucket fan-out is bounded by the band width.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._helpers import fan_out_small_scan as _fan_out_small_scan
+from .lifecycle import track_persist
 from .registry import query
 
 N_HASHES = 8  # minhash permutations
 N_BANDS = 4  # LSH bands (2 rows per band)
-
-_BYTE_UNITS = {
-    "": 1,
-    "b": 1,
-    "k": 1 << 10,
-    "kb": 1 << 10,
-    "m": 1 << 20,
-    "mb": 1 << 20,
-    "g": 1 << 30,
-    "gb": 1 << 30,
-    "t": 1 << 40,
-    "tb": 1 << 40,
-}
-
-
-def _parse_bytes(value) -> int:
-    """Spark byte-size conf values arrive either as a plain number or
-    in human form ('128MB', '64m'); int(str(v).rstrip('b')) crashed on
-    the human spellings a user session can legitimately set."""
-    s = str(value).strip().lower()
-    num = s.rstrip("kmgtb")
-    unit = s[len(num):]
-    return int(float(num) * _BYTE_UNITS[unit])
 
 
 # --------------------------------------------------------------------------
@@ -122,31 +99,8 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures_from(docs: DataFrame) -> DataFrame:
-    # The per-doc hashing below is CPU-bound; make sure it fans out. A
-    # small single-row-group parquet file scans as ONE task no matter the
-    # split config, so at bench scale we pay a (tiny) text shuffle to use
-    # every core. At 100 TB the scan has >> defaultParallelism partitions
-    # and this branch never triggers — no shuffle on the real path. The
-    # check is driver-side file metadata only (no RDD conversion, no job):
-    # few files AND total bytes below target * maxPartitionBytes means
-    # Spark cannot plan enough scan tasks on its own.
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    files = docs.inputFiles()
-    if files and len(files) < target:
-        max_pb = _parse_bytes(
-            spark.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728"
-            )
-        )
-        try:
-            total = sum(
-                os.path.getsize(f.removeprefix("file:")) for f in files
-            )
-        except OSError:  # non-local scheme: size unknown, assume small
-            total = 0
-        if total < target * max_pb:
-            docs = docs.repartition(target)
+    # The per-doc hashing below is CPU-bound; make sure it fans out.
+    docs = _fan_out_small_scan(docs)
     words = F.split("text", " ")
     shingle_list = F.transform(
         F.sequence(F.lit(0), F.size(words) - 2),
@@ -253,7 +207,7 @@ def _lsh_pairs_plan(
     ~16 evaluations of the transform per row. Caching sigs makes every
     downstream reference a plain column read; the band rows derived
     from it are cheap (4 md5s of short strings) on each join side."""
-    sigs = _minhash_signatures(spark, sf_dir).cache()
+    sigs = track_persist(_minhash_signatures(spark, sf_dir))
     sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
     band_keys = F.array(
         *[
@@ -472,18 +426,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs with (lang, source) blocking:
-# inverted-index join on 2-gram shingles, then |A∩B| / (|A|+|B|-|A∩B|).
+# inverted-index join on 2-gram shingles, then |A∩B| / (|A|+|B|-|A∩B|)
+# over the RETAINED shingle universe. "Retained" = shingles whose
+# document frequency within their block is <= NGRAM_MAX_DF — the
+# stopword-shingle guard every production near-dup pipeline applies
+# before an inverted-index join: a shingle shared by B documents emits
+# B(B-1)/2 candidate rows, so one hot bigram ("of the") dominates the
+# whole job; the guard bounds per-posting fan-out regardless of corpus
+# size (the same degenerate-bucket cap as q_minhash_lsh_pairs_capped).
+# Sizes and intersections both use the retained universe, so the
+# reported jaccard is EXACT over it (self-consistent, not a biased
+# estimate of the unfiltered value).
 # --------------------------------------------------------------------------
+NGRAM_MAX_DF = 20  # posting lists longer than this are stopword shingles
+
+
 @query(
     "q_ngram_jaccard_pairs",
-    oracle="""
-WITH shingles AS (
+    oracle=f"""
+WITH shingles0 AS (
   SELECT DISTINCT doc_id, lang, source,
     unnest(list_transform(
       range(1, len(string_split(text, ' '))),
       i -> concat(string_split(text, ' ')[i], ' ',
                   string_split(text, ' ')[i + 1]))) AS shingle
   FROM documents),
+df AS (
+  SELECT shingle, lang, source, COUNT(*) AS df
+  FROM shingles0 GROUP BY shingle, lang, source),
+shingles AS (
+  SELECT s.* FROM shingles0 s
+  JOIN df ON s.shingle = df.shingle AND s.lang = df.lang
+    AND s.source = df.source
+  WHERE df.df <= {NGRAM_MAX_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -501,7 +476,7 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.10
 """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # Shingles are built row-locally (array transform over the split
     # words), NOT via posexplode + window lead: the window formulation
     # shuffles and sorts the whole token stream just to pair adjacent
@@ -522,6 +497,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingle_list).alias("shingle"),
         )
         .distinct()
+    )
+    # Pin an explicit-width exchange on the join key: the shingle rows
+    # are small in BYTES but the inverted-index self-join below is a
+    # high fan-out CPU stage, and AQE's size-based coalescing would
+    # otherwise collapse it to a couple of tasks (same trap the fused
+    # pyramid cascade disables coalescing for). A user repartition with
+    # an explicit count is exempt from AQE coalescing, and the window
+    # below plus both join sides reuse this one exchange.
+    shingles = shingles.repartition(
+        spark.sparkContext.defaultParallelism,
+        "shingle",
+        "lang",
+        "source",
+    )
+    # Stopword-shingle guard: a document-frequency window over the SAME
+    # key the self-join shuffles on (no extra exchange on either side).
+    w_df = Window.partitionBy("shingle", "lang", "source")
+    shingles = (
+        shingles.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("df") <= NGRAM_MAX_DF)
+        .drop("df")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._helpers import fan_out_small_scan
 from .registry import query
 
 N_PLANES = 8
@@ -275,6 +276,25 @@ _PLANE3_COMP = (
 _PLANE3_DUCK = _PLANE3_COMP.replace("AS STRING", "AS VARCHAR")
 
 
+def _plane_comps_py() -> dict[tuple[int, int], list[float]]:
+    """The md5-derived +/-1 hyperplane components, computed driver-side.
+    Bit-identical to the SQL `_PLANE3_COMP` (same md5, same nibble
+    rule), so inlining them as literals preserves oracle hash parity."""
+    import hashlib
+
+    return {
+        (t, p): [
+            1.0
+            if hashlib.md5(f"{t},{p},{i}".encode()).hexdigest()[0]
+            in "13579bdf"
+            else -1.0
+            for i in range(1, 65)
+        ]
+        for t in range(_ANN_T)
+        for p in range(_ANN_B)
+    }
+
+
 @query(
     "q_ann_lsh",
     oracle=f"""
@@ -313,30 +333,54 @@ WHERE rn <= 3
 """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    planes = (
-        spark.range(_ANN_T)
-        .select(F.col("id").alias("t"))
-        .crossJoin(spark.range(_ANN_B).select(F.col("id").alias("p")))
-        .crossJoin(spark.range(1, 65).select(F.col("id").alias("i")))
-        .select("t", "p", "i", F.expr(_PLANE3_COMP).alias("comp"))
-    )
-    exploded = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
-    comps = (
-        exploded.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "t", "p")
-        .agg(_ordered_dot().alias("dot"))
-    )
-    codes = comps.groupBy("vec_id", "t").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p")))
-            .otherwise(0.0)
+    # T x B x D fold evaluations per row are CPU-bound; a small
+    # single-row-group embeddings file must fan out first.
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    # All T x B hyperplane projections are computed ROW-LOCALLY against
+    # literal plane arrays (the planes are a deterministic function of
+    # (t, p, i) — 2,560 doubles, known at plan time). The alternative
+    # posexplode + plane-join + groupBy formulation shuffles and sorts
+    # rows x dims x planes records (51M at a 20k corpus; at 100 TB it
+    # would dwarf the data itself); this one is a single scan with
+    # whole-stage-codegen folds and the dot order (i ascending) matches
+    # the oracle's list_sum(... ORDER BY i) fold exactly.
+    comps = _plane_comps_py()
+
+    def dot_tp(t: int, p: int) -> Column:
+        plane = F.array(*[F.lit(c) for c in comps[(t, p)]])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        .cast("long")
-        .alias("code")
-    )
+
+    def code_t(t: int) -> Column:
+        bits = [
+            F.when(dot_tp(t, p) > 0, F.pow(F.lit(2.0), F.lit(float(p))))
+            .otherwise(0.0)
+            for p in range(_ANN_B)
+        ]
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total.cast("long")
+
+    codes = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("long").alias("t"),
+                        code_t(t).alias("code"),
+                    )
+                    for t in range(_ANN_T)
+                ]
+            )
+        ).alias("tc"),
+    ).select("vec_id", F.col("tc.t").alias("t"), F.col("tc.code").alias("code"))
     qcodes = codes.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "t", "code"
     )
@@ -561,7 +605,9 @@ def _pq_sub_d2(a: str, b: str) -> Column:
 
 @query("q_ann_pq", oracle=_PQ_ORACLE)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # The numpy encode kernel below is CPU-bound per row; fan the scan
+    # out so every core gets an Arrow batch.
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
 
     def subs(df: DataFrame, id_in: str, id_out: str, out: str) -> DataFrame:
         rows = df.select(*_pq_subvectors(id_in, out))
@@ -574,16 +620,59 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = subs(
         emb.where(F.col("vec_id") < _PQ_K), "vec_id", "k", "cvec"
     )
-    dbsubs = subs(emb, "vec_id", "vec_id", "svec")
-    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
-    enc = (
-        dbsubs.join(F.broadcast(cents), "m")
-        .select(
-            "vec_id", "m", "k", _pq_sub_d2("svec", "cvec").alias("d2")
-        )
-        .withColumn("rn", F.row_number().over(w_enc))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "k")
+    # Encode = per-(vector, subspace) argmin over K centroids. The
+    # relational formulation (explode x broadcast-centroid join x
+    # interpreted HOF distance folds) evaluates vectors x M x K folds —
+    # 10M interpreted lambdas at a 20k corpus under K=64, ~20 s and
+    # linear in the corpus. Production PQ encode is a numpy kernel:
+    # centroids are a BOUNDED driver collect (K rows — the same
+    # materialization pattern as the IVF coarse quantizer), and the
+    # Arrow-batched map computes (x-c)^2 sums with EXPLICIT per-dim add
+    # order — each elementwise double op is IEEE-exact, so d2 and the
+    # argmin (np.argmin ties -> first index == smallest k) are
+    # bit-identical to the SQL fold ((0+t0)+t1)+... the oracle runs.
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        emb.where(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = np.array(
+        [r["embedding"] for r in cent_rows], dtype=np.float64
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            embs = np.array(
+                pdf["embedding"].tolist(), dtype=np.float64
+            )
+            codes = []
+            for m in range(_PQ_M):
+                xs = embs[:, m * _PQ_D : (m + 1) * _PQ_D]
+                cs = cent[:, m * _PQ_D : (m + 1) * _PQ_D]
+                sq = (xs[:, None, :] - cs[None, :, :]) ** 2
+                d2 = sq[..., 0].copy()
+                for j in range(1, _PQ_D):
+                    d2 = d2 + sq[..., j]
+                codes.append(np.argmin(d2, axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), _PQ_M
+                    ),
+                    "m": np.tile(np.arange(_PQ_M), n),
+                    "k": np.stack(codes, axis=1).reshape(-1),
+                }
+            )
+
+    enc = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, m int, k long"
     )
     qsubs = subs(emb.where(F.col("vec_id") < 3), "vec_id", "qid", "qvec")
     lut = qsubs.join(F.broadcast(cents), "m").select(
@@ -791,7 +880,9 @@ def _km_centroids(vecs: DataFrame) -> DataFrame:
 
 @query("q_kmeans_embeddings", oracle=_km_oracle())
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Per-row K x D distance folds + the dim explode are CPU-bound;
+    # fan out (sorted folds in _km_centroids keep floats exact).
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     vecs = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -869,7 +960,8 @@ WHERE rn <= 3"""
 
 @query("q_ann_ivf", oracle=_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Same CPU-bound fan-out as q_kmeans_embeddings (assignment folds).
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     vecs = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..sources.tables import load_table
+from .lifecycle import track_persist
 from .registry import query
 
 
@@ -318,14 +319,15 @@ def q_text_dup_5gram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The exploded inverted index is persisted so the gram-count
     # aggregate and the join-back share one expansion pass (2
-    # corpus-size scans -> 1). The persist is session-lived by design —
-    # this function returns a lazy plan, so it cannot unpersist before
-    # its own action runs. Harnesses sweeping many sf_dirs in one
-    # session should call ``spark.catalog.clearCache()`` between sweeps
-    # (same contract as ``q_docs_training_pipeline``).
-    exploded = base.select(
-        "doc_id", F.explode(g5).alias("gram")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # corpus-size scans -> 1). This function returns a lazy plan, so it
+    # cannot unpersist before its own action runs; long-lived sessions
+    # should run it through ``lifecycle.managed_query``, which
+    # unpersists on scope exit (the oracle harness's one-shot sessions
+    # don't need to).
+    exploded = track_persist(
+        base.select("doc_id", F.explode(g5).alias("gram")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     gram_docs = exploded.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

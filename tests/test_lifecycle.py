@@ -1,0 +1,80 @@
+"""Cache lifecycle: managed_query unpersists the intermediates a
+registry query persisted, and leaves other cached relations alone.
+
+Round-6 verdict item 7: the session-lived persists in
+q_text_dup_5gram_corpus / q_docs_training_pipeline /
+q_minhash_lsh_pairs_capped are fine under the one-shot oracle harness
+but leak in a long-lived production session; `lifecycle.managed_query`
+is the wrapper that owns materialize -> yield -> unpersist.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+PERSISTING = [
+    "q_text_dup_5gram_corpus",
+    "q_docs_training_pipeline",
+    "q_minhash_lsh_pairs_capped",
+]
+
+
+def _n_cached_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.mark.parametrize("name", PERSISTING)
+def test_managed_query_frees_storage(spark, name):
+    from aind_exaspim_data_transformation_spark.queries.lifecycle import (
+        managed_query,
+    )
+
+    spark.catalog.clearCache()
+    before = _n_cached_rdds(spark)
+    with managed_query(spark, SF_SMALL, name) as df:
+        # collect(), not count(): count() over q_text_dup_5gram's
+        # left-outer join lets Catalyst prove the distinct-keyed right
+        # side cardinality-neutral and eliminate it — the cached branch
+        # would never execute at all.
+        rows = len(df.collect())
+        assert rows > 0
+        # the intermediate is materialized and registered while the
+        # scope is open
+        assert _n_cached_rdds(spark) > before
+    assert _n_cached_rdds(spark) == before
+
+
+def test_managed_query_leaves_caller_cache_alone(spark):
+    from aind_exaspim_data_transformation_spark.queries.lifecycle import (
+        managed_query,
+    )
+
+    spark.catalog.clearCache()
+    mine = spark.range(100).persist()
+    mine.count()
+    base = _n_cached_rdds(spark)
+    assert base >= 1
+    with managed_query(
+        spark, SF_SMALL, "q_text_dup_5gram_corpus"
+    ) as df:
+        df.collect()
+    # the query's intermediate is gone, the caller's cache is not
+    assert _n_cached_rdds(spark) == base
+    assert mine.storageLevel.useMemory
+    mine.unpersist(blocking=True)
+
+
+def test_unmanaged_path_unchanged(spark):
+    """Outside a managed scope the persist still happens (the plan
+    depends on it for the single-expansion guarantee) and stays —
+    identical to the pre-wrapper behavior the oracle harness relies
+    on."""
+    from aind_exaspim_data_transformation_spark.queries import QUERIES
+
+    spark.catalog.clearCache()
+    before = _n_cached_rdds(spark)
+    QUERIES["q_text_dup_5gram_corpus"](spark, SF_SMALL).collect()
+    assert _n_cached_rdds(spark) > before
+    spark.catalog.clearCache()
