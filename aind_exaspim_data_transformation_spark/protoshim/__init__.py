@@ -302,7 +302,11 @@ def _decode_wire_scalar(fd: FieldDescriptor, wire: int, value):
     t = fd.type
     if t in _VARINT_TYPES:
         if wire != 0:
-            raise ValueError(f"field {fd.name}: expected varint")
+            raise ValueError(
+                f"field {fd.name}: expected varint (wire 0), got wire "
+                f"{wire} — packed repeated scalars are not supported by "
+                "this shim (see tests/test_protoshim.py canary)"
+            )
         if t == TYPE_BOOL:
             return bool(value)
         v = value
@@ -316,12 +320,57 @@ def _decode_wire_scalar(fd: FieldDescriptor, wire: int, value):
     raise ValueError(f"field {fd.name}: unsupported type {t}")
 
 
+class _RepeatedField(list):
+    """Write-back list for an unset repeated field: reads are
+    side-effect-free; the first mutation stores the list in the owning
+    message (registering presence only then) and propagates the owner's
+    own write-back link up the tree."""
+
+    def __init__(self, owner: "Message", fd: "FieldDescriptor", init=()):
+        super().__init__(init)
+        self._owner = owner
+        self._fd = fd
+
+    def _touch(self) -> None:
+        owner = self._owner
+        if owner is not None:
+            values = owner.__dict__["_values"]
+            if self._fd.name not in values:
+                values[self._fd.name] = self
+            owner._register()
+
+    def append(self, item):
+        super().append(item)
+        self._touch()
+
+    def extend(self, items):
+        super().extend(items)
+        self._touch()
+
+    def insert(self, index, item):
+        super().insert(index, item)
+        self._touch()
+
+    def __setitem__(self, index, item):
+        super().__setitem__(index, item)
+        self._touch()
+
+    def add(self, **kwargs):  # repeated-message .add() like real protobuf
+        sub = self._fd.message_cls(**kwargs)
+        self.append(sub)
+        return sub
+
+
 class Message:
     """Base for dynamically built message classes. Field storage is the
     ``_values`` dict (set fields only — presence tracking); reads of
-    unset scalars return proto3 defaults without storing, reads of unset
-    submessages / repeated fields auto-vivify (so ``msg.ttl.durationMs
-    = 5`` and ``msg.value.append(b)`` behave like the real library)."""
+    unset scalars return proto3 defaults without storing. Reads of unset
+    submessages / repeated fields are ALSO side-effect-free (like the
+    real library): they return a default instance carrying a write-back
+    link to the parent, and only an actual mutation registers presence —
+    so inspecting ``call.getValueState`` never clears an already-set
+    oneof sibling, while ``msg.ttl.durationMs = 5`` and
+    ``msg.value.append(b)`` still work."""
 
     DESCRIPTOR: Descriptor = None  # set per subclass
     _fields_by_name: dict = {}
@@ -329,6 +378,7 @@ class Message:
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
+        object.__setattr__(self, "_link", None)
         for k, v in kwargs.items():
             if v is None:
                 continue
@@ -358,6 +408,17 @@ class Message:
             )
         return v
 
+    def _register(self) -> None:
+        """Fire this instance's write-back link, if any: store self into
+        the parent field that handed it out (read of an unset message
+        field) and propagate recursively so the whole chain of defaults
+        becomes present on the first real mutation."""
+        link = self.__dict__.get("_link")
+        if link is not None:
+            object.__setattr__(self, "_link", None)
+            parent, fd = link
+            parent._set_field(fd, self)
+
     def _set_field(self, fd: FieldDescriptor, value) -> None:
         if fd.oneof_index is not None and not fd.proto3_optional:
             # oneof exclusivity: setting one member clears the others
@@ -369,6 +430,7 @@ class Message:
                 ):
                     self._values.pop(other.name, None)
         self._values[fd.name] = value
+        self._register()
 
     def __getattr__(self, name):
         fd = type(self)._fields_by_name.get(name)
@@ -380,13 +442,12 @@ class Message:
         if name in values:
             return values[name]
         if fd.repeated:
-            lst: list = []
-            values[name] = lst  # vivify so .append sticks
-            return lst
+            # side-effect-free read; first mutation writes back
+            return _RepeatedField(self, fd)
         if fd.type == TYPE_MESSAGE:
             sub = fd.message_cls()
-            self._set_field(fd, sub)  # vivify; assignment-through works
-            return sub
+            object.__setattr__(sub, "_link", (self, fd))
+            return sub  # presence registered only on first mutation
         return _SCALAR_DEFAULTS[fd.type]
 
     def __setattr__(self, name, value):
@@ -397,6 +458,7 @@ class Message:
             )
         if fd.repeated:
             self._values[name] = list(value)
+            self._register()
         elif fd.type == TYPE_MESSAGE:
             self._set_field(fd, self._as_msg(fd, value))
         else:
@@ -405,12 +467,30 @@ class Message:
     def HasField(self, name: str) -> bool:
         return name in self._values
 
+    def WhichOneof(self, oneof_name: str):
+        """Name of the set member of ``oneof_name``, or None."""
+        try:
+            idx = self.DESCRIPTOR.oneofs.index(oneof_name)
+        except ValueError:
+            raise ValueError(
+                f"{type(self).__name__} has no oneof {oneof_name!r}"
+            ) from None
+        for fd in self._fields_by_name.values():
+            if (
+                fd.oneof_index == idx
+                and not fd.proto3_optional
+                and fd.name in self._values
+            ):
+                return fd.name
+        return None
+
     def ClearField(self, name: str) -> None:
         self._values.pop(name, None)
 
     def CopyFrom(self, other: "Message") -> None:
         self._values.clear()
         self.MergeFromString(other.SerializeToString())
+        self._register()  # CopyFrom(empty) still sets presence
 
     # -- wire ---------------------------------------------------------------
 
@@ -479,6 +559,7 @@ class Message:
                     self.__getattr__(fd.name).append(decoded)
                 else:
                     self._set_field(fd, decoded)
+        self._register()  # merging empty bytes still sets presence
         return len(data)
 
     ByteSize = lambda self: len(self.SerializeToString())  # noqa: E731

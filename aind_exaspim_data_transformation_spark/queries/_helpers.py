@@ -130,6 +130,16 @@ def fan_out_small_scan(df):
     target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files and len(files) < target:
+        # Size check is local-filesystem only. For remote schemes
+        # (s3a://, hdfs://) a stat round-trip per file isn't free and
+        # "assume small" inverts the helper's purpose — a handful of
+        # multi-GB objects would eat a full-scan shuffle on exactly the
+        # large-data path. There Spark's own split planning (row groups
+        # x maxPartitionBytes) already yields parallelism, so skip.
+        if not all(
+            f.startswith("file:") or "://" not in f for f in files
+        ):
+            return df
         max_pb = parse_bytes(
             spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728"
@@ -139,8 +149,8 @@ def fan_out_small_scan(df):
             total = sum(
                 os.path.getsize(f.removeprefix("file:")) for f in files
             )
-        except OSError:  # non-local scheme: size unknown, assume small
-            total = 0
+        except OSError:  # vanished file etc.: leave the scan alone
+            return df
         if total < target * max_pb:
             df = df.repartition(target)
     return df

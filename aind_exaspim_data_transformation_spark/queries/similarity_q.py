@@ -643,6 +643,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = np.array(
         [r["embedding"] for r in cent_rows], dtype=np.float64
     )
+    # Codes must be keyed by the ACTUAL vec_id (what the SQL cents/LUT
+    # and the oracle key on), not the row POSITION in the collected
+    # array — identical only while codebook ids happen to be dense
+    # 0..K-1. Mapping argmin through cent_ids keeps encode and LUT in
+    # agreement for any id set; ties still break to the smallest k
+    # because cent_rows is sorted by vec_id.
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
 
     def encode(batches):
         for pdf in batches:
@@ -660,7 +667,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d2 = sq[..., 0].copy()
                 for j in range(1, _PQ_D):
                     d2 = d2 + sq[..., j]
-                codes.append(np.argmin(d2, axis=1))
+                codes.append(cent_ids[np.argmin(d2, axis=1)])
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(

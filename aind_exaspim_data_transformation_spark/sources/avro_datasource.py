@@ -158,8 +158,16 @@ class _AvroReader(DataSourceReader):
                 continue
             typ = f["type"]
             if isinstance(typ, list):
-                typ = typ[0] if typ[1] == "null" else typ[1]
-            spark_t = _AVRO_TO_SPARK.get(typ)
+                # union: first non-null branch (any arity)
+                branches = [b for b in typ if b != "null"]
+                typ = branches[0] if branches else "null"
+            # Non-string types (dict logical types like
+            # {'type':'long','logicalType':...}) are unhashable — treat
+            # as unsupported so the mismatch error below names them
+            # instead of raising TypeError on the dict lookup.
+            spark_t = (
+                _AVRO_TO_SPARK.get(typ) if isinstance(typ, str) else None
+            )
             got = spark_t.typeName() if spark_t is not None else None
             if got != self.field_types[name]:
                 raise ValueError(
@@ -190,25 +198,19 @@ class _AvroWriter(DataSourceWriter):
         self.schema = schema
         self.overwrite = overwrite
         # Overwrite keeps the bare "part" prefix so re-runs stay
-        # byte-identical (idempotent-sink contract). Append derives a
-        # fresh job index driver-side (this __init__ runs on the
-        # driver) so a second save ADDS part files instead of
-        # os.replace()-clobbering the first job's same-numbered parts.
+        # byte-identical (idempotent-sink contract). Append gets an
+        # attempt-UNIQUE job token (not max(existing)+1 — two
+        # concurrent append jobs would derive the SAME index from the
+        # same directory listing and their os.replace()'d parts would
+        # clobber each other, silently losing one job's rows). The
+        # token is derived driver-side once per job, so all of a job's
+        # parts share a prefix and speculative re-runs of a partition
+        # within the job still collapse to one file.
         self.prefix = "part"
-        if not overwrite and os.path.isdir(self.path):
-            jobs = set()
-            for name in os.listdir(self.path):
-                if not name.endswith(".avro"):
-                    continue
-                if name.startswith("part-j"):
-                    try:
-                        jobs.add(int(name.split("-")[1][1:]))
-                    except ValueError:
-                        pass
-                elif name.startswith("part-"):
-                    jobs.add(0)  # legacy/overwrite-style names = job 0
-            if jobs:
-                self.prefix = f"part-j{max(jobs) + 1}"
+        if not overwrite:
+            import uuid
+
+            self.prefix = f"part-j{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator):
         from pyspark import TaskContext

@@ -15,7 +15,6 @@ Design notes for 100 TB streams:
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,7 +40,11 @@ def _events_schema(ts_type) -> StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over events.parquet with event-time column.
 
     ``ts`` has shipped as TIMESTAMP(NANOS) (read as raw nanosecond longs
@@ -56,13 +59,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and needs no per-row cast (which also means the probe below can
     # only ever report 'bigint' or 'timestamp').
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = os.path.join(sf_dir, "events.parquet")
-    ts_batch = dict(spark.read.parquet(path).dtypes).get("ts")
-    # The file stream source requires a directory; glob-filter to events.
+    ts_batch = dict(
+        spark.read.option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+        .dtypes
+    ).get("ts")
+    # The file stream source requires a directory; glob-filter to events
+    # (the prefix form also matches split files like events-0.parquet,
+    # which multi-micro-batch tests use with max_files_per_trigger).
     reader = (
         spark.readStream.format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
     if ts_batch == "bigint":
         raw = reader.schema(_events_schema(LongType())).load(sf_dir)
         # Integer division: double division loses precision at 1.7e18 ns.
@@ -233,7 +245,11 @@ def tws_state_store(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
-def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_user_stats_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Per-user running stats via ``transformWithStateInPandas`` — the
     Spark 4.x successor to ``applyInPandasWithState`` (typed state
     variables on the new operator's state store; timers/TTL available).
@@ -320,7 +336,7 @@ def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     return ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserStats(),
         outputStructType=(
