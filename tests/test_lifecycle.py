@@ -78,3 +78,19 @@ def test_unmanaged_path_unchanged(spark):
     QUERIES["q_text_dup_5gram_corpus"](spark, SF_SMALL).collect()
     assert _n_cached_rdds(spark) > before
     spark.catalog.clearCache()
+
+
+def test_run_query_public_entry_point(spark):
+    """The package-level run_query routes through managed_query: the
+    result arrives AND the persisted intermediates are freed."""
+    import aind_exaspim_data_transformation_spark as pkg
+
+    before = _n_cached_rdds(spark)
+    rows = pkg.run_query(spark, SF_SMALL, "q_text_dup_5gram_corpus")
+    assert len(rows) > 0
+    assert _n_cached_rdds(spark) == before
+    n = pkg.run_query(
+        spark, SF_SMALL, "q_dedup_exact", action=lambda df: df.count()
+    )
+    assert n > 0
+    assert _n_cached_rdds(spark) == before
