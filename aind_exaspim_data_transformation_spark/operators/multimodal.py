@@ -3,9 +3,9 @@ frame-sample over opaque binary payloads (north-star surface).
 
 The Spark-side plumbing is real — schemas, Arrow batching via
 ``mapInPandas``, partition behavior — and so is media decode for PNG,
-BMP, and WAV (pure-stdlib codecs in ``operators.media_codecs``).
-Formats that need external libraries (jpeg/mp4) raise
-``NotImplementedError``; a deterministic fake codec
+BMP, JPEG, and WAV (pure-stdlib codecs in ``operators.media_codecs``
+and ``operators.jpeg``). Formats that need external libraries (mp4)
+raise ``NotImplementedError``; a deterministic fake codec
 (``fake-rgb8``/``fake-pcm16``) additionally exercises the full path in
 tests without any codec in the loop.
 
@@ -44,14 +44,19 @@ def encode_fake_rgb8(arr: np.ndarray) -> bytes:
 
 
 def decode_media(payload: bytes, media_format: str) -> np.ndarray:
-    """Decode one payload. PNG (8-bit grey/RGB), BMP (24-bit), and WAV
-    (16-bit PCM) decode for real via the pure-stdlib codecs in
-    ``operators.media_codecs``; formats needing external libraries
-    (jpeg/mp4) stay stubbed — plug a decoder in here."""
+    """Decode one payload. PNG (8-bit grey/RGB), BMP (24-bit), JPEG
+    (baseline DCT), and WAV (16-bit PCM) decode for real via the
+    pure-stdlib codecs in ``operators.media_codecs`` /
+    ``operators.jpeg``; formats needing external libraries (mp4) stay
+    stubbed — plug a decoder in here."""
     if media_format == "png":
         from .media_codecs import decode_png
 
         return decode_png(payload)
+    if media_format == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if media_format == "bmp":
         from .media_codecs import decode_bmp
 

@@ -357,3 +357,102 @@ def q_multimodal_audio_decode_stats(
         "doc_id long, media_format string, n_values long, sum_v long, "
         "sum_abs long, peak int, zero_cross long",
     )
+
+
+# --------------------------------------------------------------------------
+# REAL JPEG decode in the loop: each doc gets a deterministic 16x16
+# image of flat 8x8 blocks whose gray value is EVEN — the one image
+# family baseline JPEG reproduces EXACTLY (DC-only blocks; the
+# quality-50 luma DC quant step 16 divides 8*(v-128); the orthonormal
+# float IDCT of a DC-only block is an exact flat plane; gray pixels map
+# to Y=v, Cb=Cr=128 exactly through the BT.601 transform). The payload
+# is a real baseline JFIF bytestream from operators.jpeg.encode_jpeg —
+# 4:4:4 color / 4:2:0 color / single-component grayscale by doc_id % 3,
+# with restart markers on doc_id % 5 == 0 — decoded back through
+# decode_media("jpeg") and aggregated. The DuckDB oracle recomputes the
+# stats straight from the block-value formula, so a bug anywhere in the
+# marker writer/parser, Huffman coder, DC prediction, zigzag, quant,
+# IDCT, subsampling, or color transform breaks the cross-engine hash.
+# (AC-coefficient and lossy paths are covered by tests/test_jpeg.py
+# against JDK ImageIO, where exactness is not required.)
+# Same 100 TB shape as the PNG/WAV twins: map-only, payloads never
+# shuffle, only fixed-width stats leave the partition.
+# --------------------------------------------------------------------------
+JPEG_BLOCKS = 2  # image is (8*JPEG_BLOCKS)^2, one flat value per block
+
+_JPEG_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'jpeg_444'
+         WHEN doc_id % 3 = 1 THEN 'jpeg_420'
+         ELSE 'jpeg_gray' END AS media_format,
+    2 * ((doc_id * 7 + bi.i * 13 + bj.i * 29) % 128) AS v
+  FROM documents, range(0, {JPEG_BLOCKS}) bi(i), range(0, {JPEG_BLOCKS}) bj(i))
+SELECT doc_id, media_format,
+  {8 * JPEG_BLOCKS} AS height, {8 * JPEG_BLOCKS} AS width,
+  CAST(SUM(v) * 64 AS BIGINT) AS sum_v,
+  CAST(SUM(v) * 64 AS DOUBLE) / {(8 * JPEG_BLOCKS) ** 2} AS mean_v
+FROM b GROUP BY doc_id, media_format
+"""
+
+
+@query("q_multimodal_jpeg_decode_stats", oracle=_JPEG_ORACLE)
+def q_multimodal_jpeg_decode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nb = JPEG_BLOCKS
+    side = 8 * nb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bi = np.arange(nb, dtype=np.int64)[:, None]
+        bj = np.arange(nb, dtype=np.int64)[None, :]
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                vals = 2 * ((d * 7 + bi * 13 + bj * 29) % 128)
+                plane = np.kron(vals, ones).astype(np.uint8)
+                ri = 2 if d % 5 == 0 else 0
+                if d % 3 == 0:
+                    rgb = np.stack([plane] * 3, axis=2)
+                    payload = encode_jpeg(
+                        rgb, quality=50, subsampling="444",
+                        restart_interval=ri,
+                    )
+                    fmt = "jpeg_444"
+                elif d % 3 == 1:
+                    rgb = np.stack([plane] * 3, axis=2)
+                    payload = encode_jpeg(
+                        rgb, quality=50, subsampling="420",
+                        restart_interval=ri,
+                    )
+                    fmt = "jpeg_420"
+                else:
+                    payload = encode_jpeg(
+                        plane, quality=50, restart_interval=ri
+                    )
+                    fmt = "jpeg_gray"
+                dec = decode_media(payload, "jpeg")
+                s = int(dec[:, :, 0].astype(np.int64).sum())
+                out.append(
+                    (d, fmt, dec.shape[0], dec.shape[1], s,
+                     float(s) / (side * side))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "media_format", "height", "width",
+                    "sum_v", "mean_v",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, media_format string, height int, width int, "
+        "sum_v long, mean_v double",
+    )

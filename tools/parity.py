@@ -50,7 +50,9 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(zip(*norm_cols)) if len(pdf) else []
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+def compare(
+    spark_df, oracle_sql: str, sf_dir: str, spark_pdf=None
+) -> tuple[bool, str]:
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -60,7 +62,8 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     oracle_pdf = con.execute(oracle_sql).df()
-    spark_pdf = spark_df.toPandas()
+    if spark_pdf is None:
+        spark_pdf = spark_df.toPandas()
 
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return False, (

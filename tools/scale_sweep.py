@@ -1,0 +1,110 @@
+"""SF-scaling sweep: per-query Spark wall time + DuckDB oracle check at
+an arbitrary SF directory — the evidence run for "would this plan hold
+at 100x" (round-5/6 verdict item: sf10 sweep of the shuffle-heavy set).
+
+    python tools/gen_testdata.py --sf 10 --out .localdata/sf10
+    python tools/scale_sweep.py .localdata/sf10            # default set
+    python tools/scale_sweep.py <sf_dir> q01_pricing_summary ...
+
+Prints one line per query (seconds, rows, oracle verdict) and a final
+JSON summary line for the round notes. Timing covers plan build +
+execution + result collection (results are aggregates — tiny next to
+execution), on local[$SPARK_GRAFT_SWEEP_CPUS] (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parity import compare  # noqa: E402  (sibling tools/ module)
+
+# The shuffle-heavy set: every query whose plan contains a fact-fact
+# join, a wide aggregation, a window over a big partition, a pair
+# generator, or an iterative/recursive step — the ones whose cost could
+# scale super-linearly if a cap/checkpoint/broadcast were wrong.
+SHUFFLE_HEAVY = [
+    # TPC-H 22 (Q7 == q_nation_pair_volume)
+    "q01_pricing_summary", "q02_min_cost_supplier",
+    "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q_nation_pair_volume", "q08_market_share", "q09_nation_profit",
+    "q10_returned_items", "q11_important_stock", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promotion_effect",
+    "q15_top_supplier", "q16_part_variety",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_discounted_revenue", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q22_sales_opportunity",
+    # dedup family (incl. the round-6 capped n-gram + checkpointed CC)
+    "q_dedup_exact", "q_dedup_by_key", "q_minhash_signatures",
+    "q_minhash_lsh_pairs", "q_minhash_lsh_pairs_capped",
+    "q_ngram_jaccard_pairs", "q_dedup_clusters",
+    "q_dedup_keep_canonical", "q_simhash",
+    # ANN / embeddings
+    "q_knn_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_pq",
+    "q_kmeans_embeddings", "q_embedding_near_dup_pairs",
+    # behavioral analytics
+    "q_events_funnel", "q_events_retention_cohort", "q_events_gapfill",
+    "q_events_rolling_24h", "q_hll_sketch_union",
+    # training-data assembly
+    "q_docs_temperature_sample", "q_docs_pack_sequences",
+    "q_docs_training_pipeline", "q_docs_stratified_sample",
+]
+
+
+def main() -> int:
+    from aind_exaspim_data_transformation_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+    from aind_exaspim_data_transformation_spark.session import get_spark
+
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:] or SHUFFLE_HEAVY
+    check_oracle = os.environ.get("SWEEP_ORACLE", "1") != "0"
+    spark = get_spark(
+        "scale-sweep",
+        cpus=int(os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = {}
+    failed = []
+    for name in names:
+        try:
+            t0 = time.monotonic()
+            df = QUERIES[name](spark, sf_dir)
+            pdf = df.toPandas()
+            dt = time.monotonic() - t0
+            if check_oracle and name in ORACLES:
+                ok, msg = compare(df, ORACLES[name], sf_dir, spark_pdf=pdf)
+                status = "PASS" if ok else f"FAIL {msg}"
+            else:
+                ok, status = True, "rows-only"
+            print(
+                f"  {name:34s} {dt:8.2f}s  rows={len(pdf):>8}  {status}",
+                flush=True,
+            )
+            rows[name] = {"sec": round(dt, 2), "rows": len(pdf), "ok": ok}
+            if not ok:
+                failed.append(name)
+        except Exception:
+            print(f"  [ERROR] {name}:", flush=True)
+            traceback.print_exc()
+            failed.append(name)
+            rows[name] = {"sec": None, "rows": None, "ok": False}
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if failed:
+        print("failed:", failed)
+    print(json.dumps({"sf_dir": sf_dir, "queries": rows}))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
