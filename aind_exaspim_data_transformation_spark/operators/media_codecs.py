@@ -10,13 +10,14 @@ this container (no PIL/imageio/soundfile). They back
 formats: the north-star multimodal surface's decode step is real, not a
 stub, for both the image and audio modalities.
 
-Scope: 8-bit/channel truecolor. The PNG decoder implements the full
-filter set (None/Sub/Up/Average/Paeth, bytewise per the spec) and
-multi-IDAT streams; greyscale (color type 0) is expanded to RGB.
-Interlaced (Adam7), paletted, and 16-bit images raise ValueError.
-The encoders exist for fixtures/tests: the PNG encoder can emit any
-filter type per row, so decoder coverage does not depend on external
-sample files.
+Scope: the PNG decoder implements the full filter set
+(None/Sub/Up/Average/Paeth, bytewise per the spec), multi-IDAT
+streams, and — since round 7 — every baseline color-type/bit-depth
+combination: greyscale 1/2/4/8/16 (scaled to 8-bit), truecolor 8/16,
+paletted 1/2/4/8 (PLTE), grey+alpha / RGBA (alpha dropped), and Adam7
+interlacing. Output is always (H, W, 3) uint8 RGB. The encoders exist
+for fixtures/tests: the PNG encoder can emit any filter type per row,
+so decoder coverage does not depend on external sample files.
 """
 
 from __future__ import annotations
@@ -97,45 +98,38 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, out)
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG into (H, W, 3) uint8. Supports color types 2 (RGB)
-    and 0 (greyscale, expanded), bit depth 8, no interlace."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    idat = bytearray()
-    ihdr = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2) or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG (depth={depth} color={color} "
-            f"interlace={interlace}); only 8-bit grey/RGB supported"
-        )
-    bpp = 3 if color == 2 else 1
-    stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+# PNG color types (spec 11.2.2): type -> raw channel count.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 interlace passes (spec 8.2): (xstart, ystart, xstep, ystep).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline filters over one (sub-)image of ``h``
+    rows of ``stride`` bytes starting at ``off``; ``bpp`` is the filter
+    delta in BYTES (max(1, channels*depth//8), spec 9.2). Returns the
+    (h, stride) recovered bytes and the new offset."""
+    need = h * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("PNG data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, r * (stride + 1) + 1
-        ).astype(np.int16)
+        base = off + r * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(
+            np.int16
+        )
         if ft == 0:
             rec = line
         elif ft == 2:  # Up
@@ -166,10 +160,120 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = rec.astype(np.uint8)
         prev = rec
-    img = out.reshape(h, w, bpp)
-    if bpp == 1:
-        img = np.repeat(img, 3, axis=2)
-    return img
+    return out, off + need
+
+
+def _png_samples(rows: np.ndarray, npix: int, ch: int, depth: int):
+    """Split unfiltered scanline bytes into per-pixel raw sample values:
+    (h, npix, ch) uint16 (16-bit kept whole; sub-byte depths unpacked
+    MSB-first per spec 7.2)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return (
+            rows[:, : npix * ch]
+            .reshape(h, npix, ch)
+            .astype(np.uint16)
+        )
+    if depth == 16:
+        v = rows[:, : npix * ch * 2].reshape(h, npix * ch, 2).astype(
+            np.uint16
+        )
+        return ((v[:, :, 0] << 8) | v[:, :, 1]).reshape(h, npix, ch)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : npix * ch * depth].reshape(h, npix * ch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (per * weights).sum(axis=2, dtype=np.uint16).reshape(
+        h, npix, ch
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG into (H, W, 3) uint8 RGB. Supports every baseline
+    color type / bit depth / interlace combination the spec defines:
+    greyscale (depths 1/2/4/8/16, scaled to 8-bit), truecolor (8/16 —
+    16-bit takes the high byte), paletted (depths 1/2/4/8 via PLTE),
+    grey+alpha and RGBA (alpha dropped), and Adam7 interlacing."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    ihdr = None
+    plte = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"PLTE":
+            plte = bytes(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (
+        comp != 0
+        or filt != 0
+        or color not in _PNG_CHANNELS
+        or depth not in _PNG_DEPTHS[color]
+        or interlace not in (0, 1)
+    ):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} "
+            f"interlace={interlace} comp={comp} filter={filt})"
+        )
+    ch = _PNG_CHANNELS[color]
+    bpp = max(1, ch * depth // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    def sub_image(pw: int, ph: int, off: int):
+        stride = (pw * ch * depth + 7) // 8
+        rows, off = _png_unfilter(raw, off, ph, stride, bpp)
+        return _png_samples(rows, pw, ch, depth), off
+
+    if interlace == 0:
+        img, off = sub_image(w, h, 0)
+    else:
+        img = np.zeros((h, w, ch), dtype=np.uint16)
+        off = 0
+        for xs, ys, xp, yp in _ADAM7:
+            pw = (w - xs + xp - 1) // xp
+            ph = (h - ys + yp - 1) // yp
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = sub_image(pw, ph, off)
+            img[ys::yp, xs::xp] = sub
+    if off != len(raw):
+        raise ValueError("PNG data length mismatch")
+
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        if len(pal) % 3:
+            raise ValueError("PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = img[:, :, 0].astype(np.int64)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    if depth == 16:
+        v8 = (img >> 8).astype(np.uint8)
+    elif depth == 8:
+        v8 = img.astype(np.uint8)
+    else:  # 1/2/4-bit grey: scale to full 8-bit range (255/max exact)
+        v8 = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if color == 0:
+        return np.repeat(v8, 3, axis=2)
+    if color == 4:  # grey + alpha: drop alpha
+        return np.repeat(v8[:, :, :1], 3, axis=2)
+    if color == 6:  # RGBA: drop alpha
+        return v8[:, :, :3]
+    return v8  # color type 2 (RGB)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

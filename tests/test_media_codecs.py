@@ -99,8 +99,18 @@ def test_decode_media_dispatch():
     img = _img(6, 6)
     assert np.array_equal(decode_media(encode_png(img), "png"), img)
     assert np.array_equal(decode_media(encode_bmp(img), "bmp"), img)
+    # jpeg decodes for real since round 7 (lossy in general; flat blocks
+    # with even values are exact — see tests/test_jpeg.py)
+    from aind_exaspim_data_transformation_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+
+    flat = np.full((8, 8, 3), 100, dtype=np.uint8)
+    assert np.array_equal(
+        decode_media(encode_jpeg(flat, quality=50), "jpeg"), flat
+    )
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "jpeg")
+        decode_media(b"\x00\x00\x00\x20ftypisom", "mp4")
 
 
 def test_rejects_garbage():

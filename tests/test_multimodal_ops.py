@@ -27,7 +27,7 @@ def _image_rows(n=4, h=16, w=12, seed=42):
 
 def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError, match="no decoder"):
-        decode_media(b"\x00", "jpeg")
+        decode_media(b"\x00", "mp4")
 
 
 def test_image_features(spark):
