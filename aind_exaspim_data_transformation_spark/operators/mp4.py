@@ -1,0 +1,293 @@
+"""ISO BMFF (MP4) box-structure codec: metadata parse + skeleton writer.
+
+The MP4 container layout is a public spec (ISO/IEC 14496-12, the
+QuickTime-derived "box"/"atom" structure): length-prefixed nested boxes,
+full-box version/flags, fixed layouts for the movie/track/media headers
+and the sample tables. Parsing the container needs nothing beyond
+``struct`` — what requires external codec libraries is decoding the
+video/audio *bitstreams inside* ``mdat`` (H.264/AAC/etc.), which stays
+an honest ``NotImplementedError`` in ``operators.multimodal``.
+
+This module makes the video modality's metadata path real, the same way
+PNG/BMP/WAV/JPEG made image/audio decode real:
+
+- ``parse_mp4``: walk the box tree and extract the movie header
+  (timescale, duration), per-track headers (track id, handler type,
+  width/height, media timescale/duration), and sample-table summary
+  (sample-entry fourcc, sample count) — the fields a 100 TB video
+  pipeline filters and routes on before ever touching frame bytes.
+- ``encode_mp4_skeleton``: build a deterministic, structurally valid
+  minimal MP4 (ftyp + moov with full header/track/sample-table chain +
+  mdat) so parser coverage does not depend on external sample files,
+  mirroring the encoder-for-fixtures pattern of the other codecs.
+
+The oracle-gated query ``q_multimodal_mp4_meta`` encodes a skeleton per
+document from closed-form parameters, parses it back, and DuckDB
+recomputes the same fields from the formulas — a bug in either the box
+writer or the parser breaks the cross-engine hash. Map-only; payloads
+never shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class Mp4Error(ValueError):
+    """Malformed or unsupported ISO BMFF input."""
+
+
+def _fourcc(tag: bytes) -> str:
+    return tag.decode("latin-1")
+
+
+def _walk(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise Mp4Error("truncated largesize box header")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise Mp4Error(f"box '{_fourcc(tag)}' overruns its container")
+        yield _fourcc(tag), body, pos + size
+        pos += size
+    if pos != end:
+        raise Mp4Error("trailing bytes that do not form a box")
+
+
+def _find(data: bytes, start: int, end: int, tag: str):
+    for t, b, e in _walk(data, start, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def _fullbox(data: bytes, body: int):
+    version = data[body]
+    flags = int.from_bytes(data[body + 1 : body + 4], "big")
+    return version, flags, body + 4
+
+
+def _parse_mvhd(data: bytes, body: int, end: int) -> dict:
+    v, _flags, p = _fullbox(data, body)
+    if v == 1:
+        _c, _m, timescale, duration = struct.unpack(
+            ">QQIQ", data[p : p + 28]
+        )
+    elif v == 0:
+        _c, _m, timescale, duration = struct.unpack(
+            ">IIII", data[p : p + 16]
+        )
+    else:
+        raise Mp4Error(f"mvhd version {v}")
+    return {"timescale": timescale, "duration": duration}
+
+
+def _parse_tkhd(data: bytes, body: int, end: int) -> dict:
+    v, _flags, p = _fullbox(data, body)
+    if v == 1:
+        track_id = struct.unpack(">I", data[p + 16 : p + 20])[0]
+        p2 = p + 32  # through duration
+    elif v == 0:
+        track_id = struct.unpack(">I", data[p + 8 : p + 12])[0]
+        p2 = p + 20
+    else:
+        raise Mp4Error(f"tkhd version {v}")
+    # reserved(8) layer(2) altgroup(2) volume(2) reserved(2) matrix(36)
+    q = p2 + 8 + 2 + 2 + 2 + 2 + 36
+    w_fp, h_fp = struct.unpack(">II", data[q : q + 8])
+    return {"track_id": track_id, "width": w_fp >> 16, "height": h_fp >> 16}
+
+
+def _parse_mdhd(data: bytes, body: int, end: int) -> dict:
+    v, _flags, p = _fullbox(data, body)
+    if v == 1:
+        _c, _m, timescale, duration = struct.unpack(
+            ">QQIQ", data[p : p + 28]
+        )
+    elif v == 0:
+        _c, _m, timescale, duration = struct.unpack(
+            ">IIII", data[p : p + 16]
+        )
+    else:
+        raise Mp4Error(f"mdhd version {v}")
+    return {"media_timescale": timescale, "media_duration": duration}
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Parse the box structure of an MP4/ISO-BMFF byte string into
+    movie + per-track metadata. Raises Mp4Error on malformed input or
+    if no moov box is present."""
+    if len(data) < 8:
+        raise Mp4Error("too short to be an MP4")
+    out: dict = {"major_brand": None, "tracks": []}
+    moov = None
+    for tag, b, e in _walk(data, 0, len(data)):
+        if tag == "ftyp":
+            out["major_brand"] = _fourcc(data[b : b + 4])
+        elif tag == "moov":
+            moov = (b, e)
+    if moov is None:
+        raise Mp4Error("no moov box")
+    mb, me = moov
+    mvhd = _find(data, mb, me, "mvhd")
+    if mvhd is None:
+        raise Mp4Error("moov missing mvhd")
+    out.update(_parse_mvhd(data, *mvhd))
+    for tag, b, e in _walk(data, mb, me):
+        if tag != "trak":
+            continue
+        track: dict = {}
+        tkhd = _find(data, b, e, "tkhd")
+        if tkhd is None:
+            raise Mp4Error("trak missing tkhd")
+        track.update(_parse_tkhd(data, *tkhd))
+        mdia = _find(data, b, e, "mdia")
+        if mdia is None:
+            raise Mp4Error("trak missing mdia")
+        db, de = mdia
+        mdhd = _find(data, db, de, "mdhd")
+        if mdhd is None:
+            raise Mp4Error("mdia missing mdhd")
+        track.update(_parse_mdhd(data, *mdhd))
+        hdlr = _find(data, db, de, "hdlr")
+        if hdlr is None:
+            raise Mp4Error("mdia missing hdlr")
+        hb, _he = hdlr
+        track["handler"] = _fourcc(data[hb + 8 : hb + 12])
+        minf = _find(data, db, de, "minf")
+        track["codec"] = None
+        track["n_samples"] = 0
+        if minf is not None:
+            fb, fe = minf
+            stbl = _find(data, fb, fe, "stbl")
+            if stbl is not None:
+                sb, se = stbl
+                stsd = _find(data, sb, se, "stsd")
+                if stsd is not None:
+                    _v, _f, p = _fullbox(data, stsd[0])
+                    (entry_count,) = struct.unpack(">I", data[p : p + 4])
+                    if entry_count:
+                        track["codec"] = _fourcc(data[p + 8 : p + 12])
+                stsz = _find(data, sb, se, "stsz")
+                if stsz is not None:
+                    _v, _f, p = _fullbox(data, stsz[0])
+                    _fixed, count = struct.unpack(">II", data[p : p + 8])
+                    track["n_samples"] = count
+        out["tracks"].append(track)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Skeleton writer (fixtures/tests)
+# --------------------------------------------------------------------------
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4_skeleton(
+    timescale: int,
+    duration: int,
+    tracks: list[dict],
+    version: int = 0,
+    mdat_bytes: bytes = b"",
+) -> bytes:
+    """Build a structurally valid minimal MP4. Each track dict:
+    ``{"track_id", "handler" ('vide'|'soun'), "codec" (fourcc str),
+    "width", "height", "media_timescale", "media_duration",
+    "n_samples"}``. ``version`` 0/1 selects 32/64-bit header times
+    (both parse paths). Sample tables are the degenerate-but-valid
+    forms: one chunk, constant sample size."""
+    if version == 1:
+        mvhd_body = struct.pack(">QQIQ", 0, 0, timescale, duration)
+    else:
+        mvhd_body = struct.pack(">IIII", 0, 0, timescale, duration)
+    mvhd_body += struct.pack(">i", 0x10000)  # rate 1.0
+    mvhd_body += struct.pack(">h", 0x0100)  # volume 1.0
+    mvhd_body += b"\x00" * 10  # reserved
+    mvhd_body += _UNITY_MATRIX
+    mvhd_body += b"\x00" * 24  # pre_defined
+    mvhd_body += struct.pack(">I", max(t["track_id"] for t in tracks) + 1)
+    moov = _full(b"mvhd", version, 0, mvhd_body)
+
+    for t in tracks:
+        if version == 1:
+            tkhd_body = struct.pack(
+                ">QQIIQ", 0, 0, t["track_id"], 0, duration
+            )
+        else:
+            tkhd_body = struct.pack(
+                ">IIIII", 0, 0, t["track_id"], 0, duration
+            )
+        tkhd_body += b"\x00" * 8  # reserved
+        tkhd_body += struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/vol/res
+        tkhd_body += _UNITY_MATRIX
+        tkhd_body += struct.pack(
+            ">II", t["width"] << 16, t["height"] << 16
+        )
+        tkhd = _full(b"tkhd", version, 7, tkhd_body)
+
+        if version == 1:
+            mdhd_body = struct.pack(
+                ">QQIQ", 0, 0, t["media_timescale"], t["media_duration"]
+            )
+        else:
+            mdhd_body = struct.pack(
+                ">IIII", 0, 0, t["media_timescale"], t["media_duration"]
+            )
+        mdhd_body += struct.pack(">HH", 0x55C4, 0)  # language 'und', predef
+        mdhd = _full(b"mdhd", version, 0, mdhd_body)
+
+        hdlr = _full(
+            b"hdlr",
+            0,
+            0,
+            b"\x00" * 4
+            + t["handler"].encode("latin-1")
+            + b"\x00" * 12
+            + b"engine\x00",
+        )
+
+        # degenerate-but-valid sample tables: codec entry with an empty
+        # 78/28-byte sample description is overkill here — the parser
+        # reads only the fourcc, so an 8-byte entry header suffices.
+        entry = _box(t["codec"].encode("latin-1"), b"")
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stts = _full(
+            b"stts", 0, 0, struct.pack(">III", 1, t["n_samples"], 1)
+        )
+        stsc = _full(
+            b"stsc", 0, 0, struct.pack(">IIII", 1, 1, t["n_samples"], 1)
+        )
+        stsz = _full(
+            b"stsz", 0, 0, struct.pack(">III", 1, t["n_samples"], 0)
+        )
+        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, 0))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        minf = _box(b"minf", vmhd + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        moov += _box(b"trak", tkhd + mdia)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    out = ftyp + _box(b"moov", moov)
+    if mdat_bytes:
+        out += _box(b"mdat", mdat_bytes)
+    return out

@@ -73,7 +73,10 @@ def decode_media(payload: bytes, media_format: str) -> np.ndarray:
         return np.frombuffer(payload, dtype="<i2")
     raise NotImplementedError(
         f"no decoder for {media_format!r} in this environment; "
-        "install a codec and extend decode_media"
+        "install a codec and extend decode_media (for mp4, the ISO BMFF "
+        "container metadata IS parseable without one — see "
+        "operators.mp4.parse_mp4; only the frame bitstreams inside mdat "
+        "need an external codec)"
     )
 
 

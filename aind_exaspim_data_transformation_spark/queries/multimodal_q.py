@@ -456,3 +456,113 @@ def q_multimodal_jpeg_decode_stats(
         "doc_id long, media_format string, height int, width int, "
         "sum_v long, mean_v double",
     )
+
+
+# --------------------------------------------------------------------------
+# REAL MP4 container parse in the loop: each doc gets a deterministic,
+# structurally valid ISO BMFF skeleton (ftyp + moov movie/track/media
+# headers + sample tables; header version 0 or 1 by doc_id % 7; video
+# track always, audio track when doc_id % 3 != 0) built from closed-form
+# parameters by operators.mp4.encode_mp4_skeleton, then PARSED back via
+# parse_mp4 and flattened. The DuckDB oracle recomputes every field from
+# the same formulas, so a bug in either the box writer or the box parser
+# (sizes, full-box versions, fixed-point width/height, sample-table
+# walk) breaks the cross-engine hash. Frame/bitstream decode inside mdat
+# is exactly what stays a gated stub in decode_media — this query gates
+# the container-metadata path a video pipeline filters on first.
+# Map-only, payloads never shuffle.
+# --------------------------------------------------------------------------
+_MP4_ORACLE = """
+SELECT doc_id,
+  'isom' AS major_brand,
+  CAST(600 * (10 + doc_id % 50) AS DOUBLE) / 600 AS duration_s,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT) AS n_tracks,
+  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+  CAST(320 + 16 * (doc_id % 8) AS INT) AS video_w,
+  CAST(240 + 16 * (doc_id % 4) AS INT) AS video_h,
+  CAST(24 + doc_id % 100 AS BIGINT) AS video_samples,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+       ELSE 100 + doc_id % 37 END AS BIGINT) AS audio_samples
+FROM documents
+"""
+
+
+@query("q_multimodal_mp4_meta", oracle=_MP4_ORACLE)
+def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mp4 import encode_mp4_skeleton, parse_mp4
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_vid = 24 + d % 100
+                tracks = [
+                    {
+                        "track_id": 1,
+                        "handler": "vide",
+                        "codec": "avc1" if d % 2 == 0 else "hev1",
+                        "width": 320 + 16 * (d % 8),
+                        "height": 240 + 16 * (d % 4),
+                        "media_timescale": 30000,
+                        "media_duration": n_vid * 1001,
+                        "n_samples": n_vid,
+                    }
+                ]
+                if d % 3 != 0:
+                    tracks.append(
+                        {
+                            "track_id": 2,
+                            "handler": "soun",
+                            "codec": "mp4a",
+                            "width": 0,
+                            "height": 0,
+                            "media_timescale": 48000,
+                            "media_duration": (100 + d % 37) * 1024,
+                            "n_samples": 100 + d % 37,
+                        }
+                    )
+                payload = encode_mp4_skeleton(
+                    600,
+                    600 * (10 + d % 50),
+                    tracks,
+                    version=1 if d % 7 == 0 else 0,
+                    mdat_bytes=b"\x00" * 16,
+                )
+                meta = parse_mp4(payload)
+                vid = meta["tracks"][0]
+                aud = (
+                    meta["tracks"][1]["n_samples"]
+                    if len(meta["tracks"]) > 1
+                    else 0
+                )
+                out.append(
+                    (
+                        d,
+                        meta["major_brand"],
+                        float(meta["duration"]) / meta["timescale"],
+                        len(meta["tracks"]),
+                        vid["codec"],
+                        vid["width"],
+                        vid["height"],
+                        vid["n_samples"],
+                        aud,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "major_brand", "duration_s", "n_tracks",
+                    "video_codec", "video_w", "video_h", "video_samples",
+                    "audio_samples",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, major_brand string, duration_s double, "
+        "n_tracks int, video_codec string, video_w int, video_h int, "
+        "video_samples long, audio_samples long",
+    )
