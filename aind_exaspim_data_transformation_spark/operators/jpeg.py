@@ -416,6 +416,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[p] != 0xFF:
             raise JpegError(f"expected marker at byte {p}")
         m = data[p + 1]
+        if m == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            p += 1
+            continue
         p += 2
         if m == 0xD9:  # EOI
             break

@@ -269,16 +269,25 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_plan(spark, sf_dir)
 
 
+MAX_BUCKET = 20  # band buckets above this are degenerate, skip them
+
+
 # --------------------------------------------------------------------------
-# Dedup clustering: connected components over the LSH candidate pairs —
-# pairs become clusters, each keeping its min-doc_id representative.
-# Oracle: transitive closure via WITH RECURSIVE, component = min reachable.
+# Dedup clustering: connected components over the CAPPED LSH candidate
+# pairs — pairs become clusters, each keeping its min-doc_id
+# representative. Capped since round 7: the round-7 sf10 sweep measured
+# the uncapped pair lineage at 70x cost for 10x data (pair count grows
+# with the square of bucket size — 40k pairs at sf1 -> 3.87M at sf10,
+# 627 s), while the capped generator stayed at 2.2x (3.85 s). Clustering
+# from capped candidates is the production semantics — a production
+# near-dup pass never enumerates degenerate-bucket pairs — and the
+# oracle computes its closure over the identical capped pair set.
 # --------------------------------------------------------------------------
 def _members_cte() -> str:
     """WITH RECURSIVE chain ending in ``members(vertex, component)`` —
-    transitive closure over the LSH candidate pairs, shared by the
-    cluster-stats and keep-canonical oracles."""
-    pairs = _lsh_pairs_sql().strip()
+    transitive closure over the capped LSH candidate pairs, shared by
+    the cluster-stats and keep-canonical oracles."""
+    pairs = _lsh_pairs_sql(max_bucket=MAX_BUCKET).strip()
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
 edges AS (
@@ -312,7 +321,7 @@ GROUP BY component
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_plan(spark, sf_dir, max_bucket=MAX_BUCKET)
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.groupBy(F.col("component").alias("cluster_rep")).agg(
         F.count(F.lit(1)).alias("cluster_size"),
@@ -346,7 +355,9 @@ FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
 @query("q_dedup_keep_canonical", oracle=_CANONICAL_ORACLE)
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters -> one kept document each. Pairs come from the
-    banded LSH join, components from pointer-jumping label propagation,
+    CAPPED banded LSH join (degenerate buckets skipped — see
+    q_dedup_clusters for the measured 70x-vs-2.2x sf10 rationale),
+    components from pointer-jumping label propagation,
     and the canonical pick is a per-component window over (n_chars
     DESC, doc_id) — cluster relations are tiny next to the corpus, so
     the final verdict join is a small-side join against documents.
@@ -356,7 +367,7 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_plan(spark, sf_dir, max_bucket=MAX_BUCKET)
     members = connected_components(pairs, src="doc_a", dst="doc_b")
     w = Window.partitionBy("component").orderBy(
         F.desc("n_chars"), F.asc("vertex")
@@ -378,8 +389,13 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # SimHash: 16-bit signature from salted-md5 token hashes. Each bit's +/-1
-# contribution is a portable CASE over one hex nibble of md5(word), so
-# Spark (via F.expr) and DuckDB compute identical bits.
+# contribution is a portable CASE over one hex nibble of the token hash,
+# so Spark (via F.expr) and DuckDB compute identical bits. The hash is
+# computed ONCE per token into a column `h` that all 16 bit expressions
+# reference — the naive inline form recomputed md5(word) inside every
+# bit contribution (16 hashes/token, ~280M redundant digests at sf10;
+# neither engine CSEs across aggregate expressions), found by the
+# round-7 sf10 sweep.
 # --------------------------------------------------------------------------
 def _bit_contrib(b: int) -> str:
     pos = 1 + b // 4  # hex char within md5
@@ -388,7 +404,7 @@ def _bit_contrib(b: int) -> str:
         f"WHEN '{c}' THEN {1 if (int(c, 16) >> k) & 1 else -1}"
         for c in "0123456789abcdef"
     )
-    return f"(CASE substr(md5(word), {pos}, 1) {whens} END)"
+    return f"(CASE substr(h, {pos}, 1) {whens} END)"
 
 
 def _simhash_sql() -> str:
@@ -400,7 +416,8 @@ def _simhash_sql() -> str:
     )
     return f"""
 WITH tokens AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+  FROM documents),
 sums AS (
   SELECT doc_id, {sums}
   FROM tokens GROUP BY doc_id)
@@ -415,7 +432,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    sums = tokens.groupBy("doc_id").agg(
+    hashed = tokens.select("doc_id", F.md5("word").alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
         *[F.sum(F.expr(_bit_contrib(b))).alias(f"s{b}") for b in range(16)]
     )
     simhash = sum(
@@ -558,10 +576,6 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket count is a window over the SAME key the join shuffles on, so the
 # guard adds no extra exchange on either side.
 # --------------------------------------------------------------------------
-MAX_BUCKET = 20  # band buckets above this are degenerate, skip them
-
-
-
 @query(
     "q_minhash_lsh_pairs_capped",
     oracle=_lsh_pairs_sql(max_bucket=MAX_BUCKET),

@@ -224,3 +224,17 @@ def test_we_decode_imageio_jpeg(spark, jvm, tmp_path):
     theirs = _imageio_read(jvm, p, h, w)
     diff = np.abs(theirs.astype(int) - ours.astype(int))
     assert diff.max() <= 2, diff.max()
+
+
+def test_fill_bytes_before_markers():
+    # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    # bytes; splice some in front of SOF and EOI.
+    data = encode_jpeg(flat_block_plane(2), quality=50)
+    i = data.find(b"\xff\xc0")
+    spliced = data[:i] + b"\xff\xff\xff" + data[i:]
+    j = spliced.rfind(b"\xff\xd9")
+    spliced = spliced[:j] + b"\xff" + spliced[j:]
+    plane = flat_block_plane(2)
+    assert np.array_equal(
+        decode_jpeg(spliced), np.stack([plane] * 3, axis=2)
+    )

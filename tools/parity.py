@@ -54,6 +54,14 @@ def compare(
     spark_df, oracle_sql: str, sf_dir: str, spark_pdf=None
 ) -> tuple[bool, str]:
     con = duckdb.connect()
+    # At scale-sweep SFs (sf1/sf10) some oracles build very large
+    # intermediates; an explicit cap makes DuckDB spill to disk instead
+    # of taking the box down (its default limit is 80% of RAM, shared
+    # badly with the Spark JVM + collected result frames).
+    mem = os.environ.get("ORACLE_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()

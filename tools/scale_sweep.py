@@ -58,6 +58,25 @@ SHUFFLE_HEAVY = [
 ]
 
 
+# Queries whose DuckDB oracle is a RECURSIVE transitive closure —
+# correct and tractable at the driver's gate SF (0.01; also swept at
+# 0.1) but quadratic in cluster size by construction (`reach` holds
+# k^2 rows per k-member component), so at sf1+ on this corpus (30-word
+# vocabulary -> giant signature-collision clusters) the ORACLE, not the
+# engine, is infeasible. The sweep runs them rows-only at scale; the
+# Spark side stays the measured subject. Override with SWEEP_ORACLE_ALL=1.
+ORACLE_INFEASIBLE_AT_SCALE = {"q_dedup_clusters", "q_dedup_keep_canonical"}
+# Additional per-run oracle skips (comma-separated query names), for
+# oracles that are fine at one SF but blow past memory at another —
+# e.g. the ANN-family oracles compute every hyperplane/centroid dot
+# product as an embeddings-x-planes CROSS JOIN with list aggregation
+# (512M rows at sf10), whose allocations DuckDB's memory_limit does not
+# fully govern.
+ORACLE_INFEASIBLE_AT_SCALE |= {
+    n for n in os.environ.get("SWEEP_SKIP_ORACLE", "").split(",") if n
+}
+
+
 def main() -> int:
     from aind_exaspim_data_transformation_spark.queries import (
         ORACLES,
@@ -68,6 +87,7 @@ def main() -> int:
     sf_dir = sys.argv[1]
     names = sys.argv[2:] or SHUFFLE_HEAVY
     check_oracle = os.environ.get("SWEEP_ORACLE", "1") != "0"
+    oracle_all = os.environ.get("SWEEP_ORACLE_ALL", "0") == "1"
     spark = get_spark(
         "scale-sweep",
         cpus=int(os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "32")),
@@ -82,11 +102,19 @@ def main() -> int:
             df = QUERIES[name](spark, sf_dir)
             pdf = df.toPandas()
             dt = time.monotonic() - t0
-            if check_oracle and name in ORACLES:
+            skip_oracle = (
+                name in ORACLE_INFEASIBLE_AT_SCALE and not oracle_all
+            )
+            if check_oracle and name in ORACLES and not skip_oracle:
                 ok, msg = compare(df, ORACLES[name], sf_dir, spark_pdf=pdf)
                 status = "PASS" if ok else f"FAIL {msg}"
             else:
-                ok, status = True, "rows-only"
+                ok = True
+                status = (
+                    "rows-only (oracle infeasible at this SF)"
+                    if skip_oracle
+                    else "rows-only"
+                )
             print(
                 f"  {name:34s} {dt:8.2f}s  rows={len(pdf):>8}  {status}",
                 flush=True,
