@@ -530,6 +530,13 @@ def _downsample_420(plane: np.ndarray) -> np.ndarray:
     return np.round(s)
 
 
+def _downsample_422(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    if w % 2:
+        plane = np.pad(plane, ((0, 0), (0, 1)), mode="edge")
+    return np.round((plane[:, 0::2] + plane[:, 1::2]) / 2.0)
+
+
 def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     h, w = plane.shape
     py = (-h) % mult_y
@@ -575,7 +582,7 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode (H, W, 3) uint8 RGB or (H, W) uint8 grayscale as baseline
-    JFIF JPEG. ``subsampling`` is '444' or '420' (ignored for
+    JFIF JPEG. ``subsampling`` is '444', '422', or '420' (ignored for
     grayscale); ``restart_interval`` > 0 emits DRI + RSTn markers every
     that many MCUs (exercising the decoder's restart path)."""
     if arr.dtype != np.uint8:
@@ -583,8 +590,8 @@ def encode_jpeg(
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("encode_jpeg expects (H, W, 3) or (H, W)")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422', or '420'")
     h_img, w_img = arr.shape[:2]
     if not h_img or not w_img:
         raise ValueError("empty image")
@@ -601,6 +608,12 @@ def encode_jpeg(
                 {"id": 1, "h": 2, "v": 2, "tq": 0, "plane": y},
                 {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": _downsample_420(cb)},
                 {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": _downsample_420(cr)},
+            ]
+        elif subsampling == "422":
+            comps = [
+                {"id": 1, "h": 2, "v": 1, "tq": 0, "plane": y},
+                {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": _downsample_422(cb)},
+                {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": _downsample_422(cr)},
             ]
         else:
             comps = [

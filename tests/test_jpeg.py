@@ -238,3 +238,29 @@ def test_fill_bytes_before_markers():
     assert np.array_equal(
         decode_jpeg(spliced), np.stack([plane] * 3, axis=2)
     )
+
+
+def test_422_flat_blocks_roundtrip_exact():
+    # 4:2:2 exercises the horizontal-only (fx=2, fy=1) upsampling path
+    # the other modes never hit.
+    plane = flat_block_plane(9)
+    expected = np.stack([plane] * 3, axis=2)
+    data = encode_jpeg(expected, quality=50, subsampling="422")
+    assert np.array_equal(decode_jpeg(data), expected)
+
+
+def test_422_gradient_bounded_and_imageio_agrees(spark, jvm, tmp_path):
+    img = gradient_rgb(16, 26)  # odd chroma width after subsampling
+    data = encode_jpeg(img, quality=95, subsampling="422")
+    ours = decode_jpeg(data)
+    err = np.abs(ours.astype(int) - img.astype(int))
+    assert err.mean() < 4.0
+    p = str(tmp_path / "g422.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    theirs = _imageio_read(jvm, p, 16, 26)
+    # IJG-style decoders use fancy (triangle) chroma upsampling for
+    # 4:2:2 while we replicate; luma is identical, chroma reconstruction
+    # differs by a bounded interpolation delta on smooth content.
+    diff = np.abs(theirs.astype(int) - ours.astype(int))
+    assert diff.max() <= 16 and diff.mean() < 2.0, (diff.max(), diff.mean())
