@@ -7,20 +7,26 @@ Huffman entropy coding in Annex C/F, the reference quantization and
 "typical" Huffman tables in Annex K) and the JFIF interchange
 conventions (BT.601 full-range YCbCr, centered chroma).
 
-Scope — baseline sequential DCT, the profile every camera/browser
-writes by default:
+Scope — the two DCT profiles that cover essentially every real-world
+JPEG:
 
-- decoder: SOI/APPn/COM/DQT/DHT/SOF0+SOF1/DRI/SOS/RSTn/EOI; 8-bit
-  precision; 1- or 3-component scans; arbitrary integer sampling
-  factors whose max is divisible by each component's (covers 4:4:4,
-  4:2:2, 4:2:0); interleaved single scan; restart markers; byte
-  stuffing. Progressive (SOF2) and the other non-baseline frame types
-  raise ``JpegError``.
+- decoder: baseline/extended sequential (SOF0/SOF1) AND progressive
+  (SOF2) — SOI/APPn/COM/DQT/DHT/DRI/SOS/RSTn/EOI; 8-bit precision;
+  1- or 3-component frames; arbitrary integer sampling factors whose
+  max is divisible by each component's (covers 4:4:4, 4:2:2, 4:2:0);
+  interleaved and non-interleaved scans; the full progressive feature
+  set per T.81 G.2 (spectral selection, successive approximation with
+  DC/AC refinement scans, EOB runs); restart markers; byte stuffing.
+  Lossless/hierarchical/arithmetic frame types raise ``JpegError``.
 - encoder (for fixtures/tests, like ``encode_png``): quality-scaled
-  Annex K quantization tables, Annex K typical Huffman tables, 4:4:4 or
-  4:2:0, optional restart interval, grayscale or RGB input — so decoder
-  coverage (every Huffman path, subsampling, restarts) does not depend
-  on external sample files.
+  Annex K quantization tables, Annex K typical Huffman tables, 4:4:4 /
+  4:2:2 / 4:2:0 / grayscale, optional restart interval, and a
+  spectral-selection progressive mode (interleaved DC scan + one AC
+  scan per component) — so decoder coverage (every Huffman path,
+  subsampling, restarts, multi-scan accumulation) does not depend on
+  external sample files. The successive-approximation refinement path
+  the encoder does not emit is cross-checked against JDK-ImageIO-
+  written full-IJG-script progressive files in tests/test_jpeg.py.
 
 Determinism: the IDCT is the exact separable float transform (an 8x8
 orthonormal basis matrix applied twice), so decode is a pure function
@@ -309,71 +315,182 @@ class _BitWriter:
 
 
 # --------------------------------------------------------------------------
-# Decoder
+# Decoder — coefficient-store architecture: every scan (the single scan
+# of a baseline file, or the many spectral-selection / successive-
+# approximation scans of a progressive file) decodes into per-component
+# zigzag coefficient arrays; dequant + IDCT + color happen once at EOI.
+# The band decoders follow T.81 F.2 (sequential) and G.2 (progressive,
+# incl. the EOB-run and correction-bit algorithms).
 # --------------------------------------------------------------------------
-def _decode_block(br: _BitReader, dc_t, ac_t, preds: list, ci: int):
-    coef = np.zeros(64, dtype=np.float64)
-    s = br.decode(dc_t)
-    preds[ci] += _extend(br.receive(s), s)
-    coef[0] = preds[ci]
-    k = 1
-    while k < 64:
+def _dc_decode(br, cz, dc_t, preds, ci, ah, al):
+    if ah == 0:  # first DC scan: diff of DC/2^al, stored shifted up
+        s = br.decode(dc_t)
+        preds[ci] += _extend(br.receive(s), s)
+        cz[0] = preds[ci] << al
+    else:  # refinement: one bit of the magnitude
+        if br.read_bit():
+            cz[0] |= 1 << al
+
+
+def _ac_first(br, cz, ac_t, ss, se, al, eobrun):
+    """First (or only) pass over an AC band; baseline is the al=0,
+    full-band case (its EOB is the degenerate EOBRUN of length 1)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
         rs = br.decode(ac_t)
         r, s = rs >> 4, rs & 15
         if s == 0:
-            if r == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
+            if r != 15:  # EOBn: run of (1<<r)+bits blocks ending here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += 16  # ZRL
+            continue
         k += r
-        if k > 63:
-            raise JpegError("AC coefficient run past end of block")
-        coef[_ZZ[k]] = _extend(br.receive(s), s)
+        if k > se:
+            raise JpegError("AC coefficient run past end of band")
+        cz[k] = _extend(br.receive(s), s) << al
         k += 1
-    return coef.reshape(8, 8)
+    return eobrun
 
 
-def _decode_scan(data, pos, scan, h_img, w_img, qt, huff, ri):
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mx = -(-w_img // (8 * hmax))
-    my = -(-h_img // (8 * vmax))
-    planes = [
-        np.zeros((my * c["v"] * 8, mx * c["h"] * 8), dtype=np.float64)
-        for c, _, _ in scan
-    ]
+def _ac_refine(br, cz, ac_t, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (T.81 G.1.2.3): nonzero-
+    history coefficients get a correction bit; zero-history positions
+    are counted by the run lengths and may gain a new +-2^al."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("invalid refinement magnitude")
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                if cz[k] != 0:
+                    if br.read_bit() and (cz[k] & p1) == 0:
+                        cz[k] += p1 if cz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                cz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cz[k] != 0:
+                if br.read_bit() and (cz[k] & p1) == 0:
+                    cz[k] += p1 if cz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_band(br, cz, dc_t, ac_t, preds, ci, spec, eobrun):
+    ss, se, ah, al = spec
+    if ss == 0:
+        _dc_decode(br, cz, dc_t, preds, ci, ah, al)
+        if se == 0:
+            return eobrun  # progressive DC-only scan
+        band_start = 1  # baseline: DC + full AC band in one pass
+    else:
+        band_start = ss
+    if ah == 0:
+        return _ac_first(br, cz, ac_t, band_start, se, al, eobrun)
+    return _ac_refine(br, cz, ac_t, band_start, se, al, eobrun)
+
+
+def _decode_scan(data, pos, scan, coefs, mx, my, hmax, vmax,
+                 h_img, w_img, huff, ri, spec):
+    """Decode one scan's entropy data into the coefficient store.
+    ``scan`` is [(comp_index, comp, td, ta)]; interleaved scans walk
+    MCUs, single-component scans walk that component's own block grid
+    (T.81 A.2.2/A.2.3)."""
+    tables = []
+    need_dc = spec[0] == 0 and spec[2] == 0  # DC first scans decode huffman
+    need_ac = spec[1] > 0  # any AC pass (first or refine) uses the AC table
+    for _ci, _c, td, ta in scan:
+        try:
+            dc_t = huff[(0, td)] if need_dc else None
+            ac_t = huff[(1, ta)] if need_ac else None
+        except KeyError as e:
+            raise JpegError(f"scan references missing table {e}") from e
+        tables.append((dc_t, ac_t))
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
+    eobrun = 0
     rst = 0
-    for i in range(mx * my):
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mx * my
+    else:
+        _ci, c, _td, _ta = scan[0]
+        cw = -(-(w_img * c["h"]) // hmax)  # component width in samples
+        ch_ = -(-(h_img * c["v"]) // vmax)
+        bw = -(-cw // 8)  # block-grid dims (T.81 A.2.2, non-interleaved)
+        bh = -(-ch_ // 8)
+        units = bw * bh
+    for i in range(units):
         if ri and i and i % ri == 0:
             br.expect_restart(rst)
             rst = (rst + 1) & 7
             preds = [0] * len(scan)
-        myi, mxi = divmod(i, mx)
-        for ci, (c, td, ta) in enumerate(scan):
-            try:
-                q = qt[c["tq"]]
-                dc_t = huff[(0, td)]
-                ac_t = huff[(1, ta)]
-            except KeyError as e:
-                raise JpegError(f"scan references missing table {e}") from e
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = _decode_block(br, dc_t, ac_t, preds, ci)
-                    blk = _C.T @ (coef * q) @ _C + 128.0
-                    y0 = (myi * c["v"] + by) * 8
-                    x0 = (mxi * c["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            eobrun = 0
+        if interleaved:
+            myi, mxi = divmod(i, mx)
+            for si, (ci, c, _td, _ta) in enumerate(scan):
+                dc_t, ac_t = tables[si]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        cz = coefs[ci][myi * c["v"] + by, mxi * c["h"] + bx]
+                        eobrun = _decode_band(
+                            br, cz, dc_t, ac_t, preds, si, spec, eobrun
+                        )
+        else:
+            ci, c, _td, _ta = scan[0]
+            dc_t, ac_t = tables[0]
+            cz = coefs[ci][i // bw, i % bw]
+            eobrun = _decode_band(
+                br, cz, dc_t, ac_t, preds, 0, spec, eobrun
+            )
     br.sync_to_marker()
-    return br.p, planes
+    return br.p
 
 
-def _assemble(planes, scan, h_img, w_img) -> np.ndarray:
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
+def _reconstruct(comps, coefs, qt, h_img, w_img) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
-    for (c, _, _), pl in zip(scan, planes):
+    for c, cf in zip(comps, coefs):
+        try:
+            q = qt[c["tq"]]
+        except KeyError as e:
+            raise JpegError(f"frame references missing quant table {e}") from e
+        by, bx = cf.shape[:2]
+        pl = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        nat = np.zeros(64, dtype=np.float64)
+        for yb in range(by):
+            for xb in range(bx):
+                nat[_ZZ] = cf[yb, xb]
+                blk = nat.reshape(8, 8) * q
+                pl[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    _C.T @ blk @ _C + 128.0
+                )
         fy, fx = vmax // c["v"], hmax // c["h"]
         if vmax % c["v"] or hmax % c["h"]:
             raise JpegError("non-integral sampling-factor ratio")
@@ -396,22 +513,25 @@ def _assemble(planes, scan, h_img, w_img) -> np.ndarray:
 
 
 _SOF_UNSUPPORTED = {
-    0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+    0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
 }
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to an (H, W, 3) uint8 RGB array
-    (grayscale images are expanded channel-wise, like ``decode_png``)."""
+    """Decode baseline-sequential (SOF0/SOF1) or progressive (SOF2)
+    JPEG bytes to an (H, W, 3) uint8 RGB array (grayscale images are
+    expanded channel-wise, like ``decode_png``)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG stream (missing SOI)")
     p = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}
     comps = None
+    coefs = None
+    mx = my = hmax = vmax = 0
     h_img = w_img = 0
     ri = 0
-    rgb = None
+    scans_seen = False
     while p + 1 < len(data):
         if data[p] != 0xFF:
             raise JpegError(f"expected marker at byte {p}")
@@ -452,7 +572,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bits, list(seg[o : o + nv])
                 )
                 o += nv
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             if seg[0] != 8:
                 raise JpegError("only 8-bit sample precision is supported")
             h_img, w_img = struct.unpack(">HH", seg[1:5])
@@ -465,32 +585,54 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not h or not v:
                     raise JpegError("zero sampling factor")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mx = -(-w_img // (8 * hmax))
+            my = -(-h_img // (8 * vmax))
+            coefs = [
+                np.zeros(
+                    (my * c["v"], mx * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            ]
         elif m in _SOF_UNSUPPORTED:
             raise JpegError(
-                f"only baseline sequential JPEG is supported (SOF 0x{m:02x})"
+                "only baseline sequential and progressive JPEG are "
+                f"supported (SOF 0x{m:02x})"
             )
         elif m == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS
             if comps is None:
                 raise JpegError("SOS before SOF")
+            ns = seg[0]
             scan = []
-            for i in range(seg[0]):
+            for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                match = [c for c in comps if c["id"] == cs]
+                match = [
+                    (j, c) for j, c in enumerate(comps) if c["id"] == cs
+                ]
                 if not match:
                     raise JpegError(f"scan component {cs} not in frame")
-                scan.append((match[0], tt >> 4, tt & 15))
-            if len(scan) != len(comps):
-                raise JpegError("multi-scan (non-interleaved) not supported")
-            p, planes = _decode_scan(
-                data, p, scan, h_img, w_img, qt, huff, ri
+                scan.append(
+                    (match[0][0], match[0][1], tt >> 4, tt & 15)
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            spec = (ss, se, ahal >> 4, ahal & 15)
+            if se > 63 or ss > se:
+                raise JpegError(f"bad spectral selection {ss}..{se}")
+            if ns > 1 and ss != 0:
+                raise JpegError("interleaved AC scan is not legal")
+            p = _decode_scan(
+                data, p, scan, coefs, mx, my, hmax, vmax,
+                h_img, w_img, huff, ri, spec,
             )
-            rgb = _assemble(planes, scan, h_img, w_img)
+            scans_seen = True
         # else: APPn / COM / unknown-with-length — skipped
-    if rgb is None:
+    if not scans_seen:
         raise JpegError("no image scan found")
-    return rgb
+    return _reconstruct(comps, coefs, qt, h_img, w_img)
 
 
 # --------------------------------------------------------------------------
@@ -546,14 +688,20 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     return plane
 
 
-def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_t, ac_t):
-    dc = int(zz[0])
+def _encode_dc(bw: _BitWriter, dc: int, pred: int, dc_t) -> int:
     diff = dc - pred
     s = abs(diff).bit_length()
     code, ln = dc_t[s]
     bw.write(code, ln)
     if s:
         bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return dc
+
+
+def _encode_ac(bw: _BitWriter, zz: np.ndarray, ac_t) -> None:
+    """Emit the AC band 1..63 of one block. The trailing EOB doubles as
+    the progressive EOB0 (an EOB run of exactly this block), so the same
+    emitter serves the baseline scan and a spectral-selection AC scan."""
     run = 0
     for k in range(1, 64):
         v = int(zz[k])
@@ -570,8 +718,13 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_t, ac_t):
         bw.write(v if v > 0 else v + (1 << s) - 1, s)
         run = 0
     if run:
-        code, ln = ac_t[0x00]  # EOB
+        code, ln = ac_t[0x00]  # EOB / EOB0
         bw.write(code, ln)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_t, ac_t):
+    dc = _encode_dc(bw, int(zz[0]), pred, dc_t)
+    _encode_ac(bw, zz, ac_t)
     return dc
 
 
@@ -580,11 +733,14 @@ def encode_jpeg(
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (H, W, 3) uint8 RGB or (H, W) uint8 grayscale as baseline
-    JFIF JPEG. ``subsampling`` is '444', '422', or '420' (ignored for
-    grayscale); ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (exercising the decoder's restart path)."""
+    """Encode (H, W, 3) uint8 RGB or (H, W) uint8 grayscale as JFIF
+    JPEG — baseline sequential (SOF0, default) or spectral-selection
+    progressive (SOF2: one interleaved DC scan, then one full AC scan
+    per component). ``subsampling`` is '444', '422', or '420' (ignored
+    for grayscale); ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (baseline only)."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 input")
     gray = arr.ndim == 2
@@ -592,6 +748,10 @@ def encode_jpeg(
         raise ValueError("encode_jpeg expects (H, W, 3) or (H, W)")
     if subsampling not in ("444", "422", "420"):
         raise ValueError("subsampling must be '444', '422', or '420'")
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart_interval is supported for baseline encoding only"
+        )
     h_img, w_img = arr.shape[:2]
     if not h_img or not w_img:
         raise ValueError("empty image")
@@ -655,7 +815,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h_img, w_img, len(comps))
     for c in comps:
         sof += bytes((c["id"], (c["h"] << 4) | c["v"], c["tq"]))
-    segment(0xC0, sof)
+    segment(0xC2 if progressive else 0xC0, sof)
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if not gray:
         tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
@@ -665,41 +825,105 @@ def encode_jpeg(
     segment(0xC4, dht)
     if restart_interval:
         segment(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for c in comps:
-        td_ta = 0x00 if c["tq"] == 0 else 0x11
-        sos += bytes((c["id"], td_ta))
-    sos += bytes((0, 63, 0))  # Ss, Se, Ah/Al
-    segment(0xDA, sos)
 
     enc_dc_l = _build_encode_table(*_DC_LUMA)
     enc_ac_l = _build_encode_table(*_AC_LUMA)
     enc_dc_c = _build_encode_table(*_DC_CHROMA)
     enc_ac_c = _build_encode_table(*_AC_CHROMA)
-    bw = _BitWriter()
-    preds = [0] * len(comps)
-    rst = 0
-    for i in range(mx * my):
-        if restart_interval and i and i % restart_interval == 0:
-            bw.marker(0xD0 + rst)
-            rst = (rst + 1) & 7
-            preds = [0] * len(comps)
-        myi, mxi = divmod(i, mx)
-        for ci, c in enumerate(comps):
-            q = ql if c["tq"] == 0 else qc
-            dc_t = enc_dc_l if c["tq"] == 0 else enc_dc_c
-            ac_t = enc_ac_l if c["tq"] == 0 else enc_ac_c
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    y0 = (myi * c["v"] + by) * 8
-                    x0 = (mxi * c["h"] + bx) * 8
-                    blk = c["plane"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coef = _C @ blk @ _C.T
-                    qz = np.round(coef / q).astype(np.int64)
-                    preds[ci] = _encode_block(
-                        bw, qz.reshape(-1)[_ZZ], preds[ci], dc_t, ac_t
-                    )
-    bw.flush()
-    out.extend(bw.buf)
+
+    # FDCT + quantize every block once (zigzag order), shared by the
+    # single baseline scan and the progressive scan script.
+    for c in comps:
+        q = ql if c["tq"] == 0 else qc
+        by_n = c["plane"].shape[0] // 8
+        bx_n = c["plane"].shape[1] // 8
+        blocks = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for yb in range(by_n):
+            for xb in range(bx_n):
+                blk = c["plane"][
+                    yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8
+                ] - 128.0
+                coef = _C @ blk @ _C.T
+                blocks[yb, xb] = (
+                    np.round(coef / q).astype(np.int64).reshape(-1)[_ZZ]
+                )
+        c["blocks"] = blocks
+
+    def dc_tab(c):
+        return enc_dc_l if c["tq"] == 0 else enc_dc_c
+
+    def ac_tab(c):
+        return enc_ac_l if c["tq"] == 0 else enc_ac_c
+
+    if progressive:
+        # Scan 1: interleaved DC (Ss=0, Se=0).
+        sos = bytes([len(comps)])
+        for c in comps:
+            sos += bytes((c["id"], 0x00 if c["tq"] == 0 else 0x10))
+        sos += bytes((0, 0, 0))
+        segment(0xDA, sos)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        for i in range(mx * my):
+            myi, mxi = divmod(i, mx)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        preds[ci] = _encode_dc(
+                            bw,
+                            int(
+                                c["blocks"][
+                                    myi * c["v"] + by, mxi * c["h"] + bx, 0
+                                ]
+                            ),
+                            preds[ci],
+                            dc_tab(c),
+                        )
+        bw.flush()
+        out.extend(bw.buf)
+        # One full AC scan per component (Ss=1, Se=63), walked over the
+        # component's own non-interleaved block grid (T.81 A.2.2).
+        for c in comps:
+            sos = bytes(
+                (1, c["id"], 0x00 if c["tq"] == 0 else 0x01)
+            ) + bytes((1, 63, 0))
+            segment(0xDA, sos)
+            bw = _BitWriter()
+            cw = -(-(w_img * c["h"]) // hmax)
+            ch_ = -(-(h_img * c["v"]) // vmax)
+            for yb in range(-(-ch_ // 8)):
+                for xb in range(-(-cw // 8)):
+                    _encode_ac(bw, c["blocks"][yb, xb], ac_tab(c))
+            bw.flush()
+            out.extend(bw.buf)
+    else:
+        sos = bytes([len(comps)])
+        for c in comps:
+            sos += bytes((c["id"], 0x00 if c["tq"] == 0 else 0x11))
+        sos += bytes((0, 63, 0))  # Ss, Se, Ah/Al
+        segment(0xDA, sos)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        for i in range(mx * my):
+            if restart_interval and i and i % restart_interval == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            myi, mxi = divmod(i, mx)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        preds[ci] = _encode_block(
+                            bw,
+                            c["blocks"][
+                                myi * c["v"] + by, mxi * c["h"] + bx
+                            ],
+                            preds[ci],
+                            dc_tab(c),
+                            ac_tab(c),
+                        )
+        bw.flush()
+        out.extend(bw.buf)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

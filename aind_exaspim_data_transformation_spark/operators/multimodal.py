@@ -44,11 +44,12 @@ def encode_fake_rgb8(arr: np.ndarray) -> bytes:
 
 
 def decode_media(payload: bytes, media_format: str) -> np.ndarray:
-    """Decode one payload. PNG (8-bit grey/RGB), BMP (24-bit), JPEG
-    (baseline DCT), and WAV (16-bit PCM) decode for real via the
-    pure-stdlib codecs in ``operators.media_codecs`` /
-    ``operators.jpeg``; formats needing external libraries (mp4) stay
-    stubbed — plug a decoder in here."""
+    """Decode one payload. PNG (all baseline color types/depths,
+    Adam7), BMP (24-bit), JPEG (baseline + progressive DCT), and WAV
+    (16-bit PCM) decode for real via the pure-stdlib codecs in
+    ``operators.media_codecs`` / ``operators.jpeg``; formats needing
+    external libraries (mp4 frame bitstreams) stay stubbed — container
+    metadata parses via ``operators.mp4.parse_mp4``."""
     if media_format == "png":
         from .media_codecs import decode_png
 

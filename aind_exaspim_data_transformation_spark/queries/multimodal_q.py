@@ -566,3 +566,92 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tracks int, video_codec string, video_w int, video_h int, "
         "video_samples long, audio_samples long",
     )
+
+
+# --------------------------------------------------------------------------
+# Progressive-JPEG decode in the loop: same closed-form flat-block
+# construction as q_multimodal_jpeg_decode_stats, but encoded as
+# PROGRESSIVE (SOF2) JFIF — one interleaved DC scan plus one AC scan
+# per component — which drives the decoder's multi-scan coefficient
+# accumulation, EOB-run handling, and non-interleaved block-grid walk
+# instead of the baseline single-scan path. Flat even-valued blocks
+# remain exact under the progressive script (the same coefficients
+# arrive split across scans), so the DuckDB oracle recomputes the stats
+# from the identical block-value formula. (The successive-approximation
+# refinement path, which this spectral-selection script does not emit,
+# is pinned against JDK-ImageIO-written full-IJG-script files in
+# tests/test_jpeg.py.) Map-only; payloads never shuffle.
+# --------------------------------------------------------------------------
+_JPEG_PROG_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'jpeg_prog_444'
+         WHEN doc_id % 3 = 1 THEN 'jpeg_prog_420'
+         ELSE 'jpeg_prog_gray' END AS media_format,
+    2 * ((doc_id * 11 + bi.i * 17 + bj.i * 23) % 128) AS v
+  FROM documents, range(0, {JPEG_BLOCKS}) bi(i), range(0, {JPEG_BLOCKS}) bj(i))
+SELECT doc_id, media_format,
+  {8 * JPEG_BLOCKS} AS height, {8 * JPEG_BLOCKS} AS width,
+  CAST(SUM(v) * 64 AS BIGINT) AS sum_v,
+  CAST(SUM(v) * 64 AS DOUBLE) / {(8 * JPEG_BLOCKS) ** 2} AS mean_v
+FROM b GROUP BY doc_id, media_format
+"""
+
+
+@query("q_multimodal_jpeg_progressive_stats", oracle=_JPEG_PROG_ORACLE)
+def q_multimodal_jpeg_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nb = JPEG_BLOCKS
+    side = 8 * nb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bi = np.arange(nb, dtype=np.int64)[:, None]
+        bj = np.arange(nb, dtype=np.int64)[None, :]
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                vals = 2 * ((d * 11 + bi * 17 + bj * 23) % 128)
+                plane = np.kron(vals, ones).astype(np.uint8)
+                if d % 3 == 0:
+                    payload = encode_jpeg(
+                        np.stack([plane] * 3, axis=2), quality=50,
+                        subsampling="444", progressive=True,
+                    )
+                    fmt = "jpeg_prog_444"
+                elif d % 3 == 1:
+                    payload = encode_jpeg(
+                        np.stack([plane] * 3, axis=2), quality=50,
+                        subsampling="420", progressive=True,
+                    )
+                    fmt = "jpeg_prog_420"
+                else:
+                    payload = encode_jpeg(
+                        plane, quality=50, progressive=True
+                    )
+                    fmt = "jpeg_prog_gray"
+                dec = decode_media(payload, "jpeg")
+                s = int(dec[:, :, 0].astype(np.int64).sum())
+                out.append(
+                    (d, fmt, dec.shape[0], dec.shape[1], s,
+                     float(s) / (side * side))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "media_format", "height", "width",
+                    "sum_v", "mean_v",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, media_format string, height int, width int, "
+        "sum_v long, mean_v double",
+    )

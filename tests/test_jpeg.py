@@ -119,13 +119,50 @@ def test_rejects_non_jpeg():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
 
-def test_rejects_progressive_sof2():
+def test_rejects_lossless_sof3():
     data = bytearray(encode_jpeg(flat_block_plane(0), quality=50))
     i = data.find(b"\xff\xc0")
     assert i > 0
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(JpegError, match="baseline"):
+    data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless, unsupported)
+    with pytest.raises(JpegError, match="SOF"):
         decode_jpeg(bytes(data))
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2)
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("mode", ["444", "422", "420", "gray"])
+def test_progressive_flat_blocks_exact(mode):
+    plane = flat_block_plane(13)
+    expected = np.stack([plane] * 3, axis=2)
+    if mode == "gray":
+        data = encode_jpeg(plane, quality=50, progressive=True)
+    else:
+        data = encode_jpeg(
+            expected, quality=50, subsampling=mode, progressive=True
+        )
+    assert data[:2] == b"\xff\xd8" and b"\xff\xc2" in data  # really SOF2
+    assert np.array_equal(decode_jpeg(data), expected)
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("size", [(8, 8), (21, 35), (17, 13)])
+def test_progressive_decode_equals_baseline_decode(sub, size):
+    # The scan script reorders the SAME quantized coefficients, so the
+    # reconstruction must be bit-identical to the baseline file's.
+    img = gradient_rgb(*size)
+    base = decode_jpeg(encode_jpeg(img, quality=80, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=80, subsampling=sub, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="baseline"):
+        encode_jpeg(
+            flat_block_plane(0), progressive=True, restart_interval=2
+        )
 
 
 def test_rejects_truncated_scan():
@@ -264,3 +301,60 @@ def test_422_gradient_bounded_and_imageio_agrees(spark, jvm, tmp_path):
     # differs by a bounded interpolation delta on smooth content.
     diff = np.abs(theirs.astype(int) - ours.astype(int))
     assert diff.max() <= 16 and diff.mean() < 2.0, (diff.max(), diff.mean())
+
+
+def _jdk_write_progressive(jvm, bi, path):
+    it = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    writer = it.next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+    )
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+        jvm.java.io.File(path)
+    )
+    writer.setOutput(ios)
+    writer.write(
+        None, jvm.javax.imageio.IIOImage(bi, None, None), param
+    )
+    ios.close()
+    writer.dispose()
+
+
+def test_we_decode_jdk_progressive_jpeg(spark, jvm, tmp_path):
+    # The JDK's progressive writer emits the full IJG scan script —
+    # DC/AC successive approximation with refinement scans and EOB runs
+    # — the hardest decode path. Gray content keeps chroma flat so the
+    # comparison isolates the progressive entropy pipeline.
+    h, w = 24, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((yy * 5 + xx * 3) % 200 + 20).astype(np.uint8)
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for r in range(h):
+        for c in range(w):
+            v = int(g[r, c])
+            bi.setRGB(c, r, (v << 16) | (v << 8) | v)
+    p = str(tmp_path / "jdk_prog.jpg")
+    _jdk_write_progressive(jvm, bi, p)
+    data = open(p, "rb").read()
+    assert b"\xff\xc2" in data  # really progressive
+    ours = decode_jpeg(data)
+    theirs = _imageio_read(jvm, p, h, w)
+    diff = np.abs(theirs.astype(int) - ours.astype(int))
+    assert diff.max() <= 2, diff.max()
+
+
+@pytest.mark.parametrize("mode", ["444", "420"])
+def test_imageio_reads_our_progressive_flat_exact(spark, jvm, tmp_path,
+                                                  mode):
+    plane = flat_block_plane(21)
+    expected = np.stack([plane] * 3, axis=2)
+    data = encode_jpeg(
+        expected, quality=50, subsampling=mode, progressive=True
+    )
+    p = str(tmp_path / f"ours_prog_{mode}.jpg")
+    with open(p, "wb") as f:
+        f.write(data)
+    assert np.array_equal(_imageio_read(jvm, p, 16, 16), expected)
