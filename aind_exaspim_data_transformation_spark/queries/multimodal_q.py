@@ -655,3 +655,263 @@ def q_multimodal_jpeg_progressive_stats(
         "doc_id long, media_format string, height int, width int, "
         "sum_v long, mean_v double",
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling under the oracle gate: each doc gets a deterministic
+# multi-frame video payload (3 + doc_id % 5 concatenated fake-rgb8
+# frames whose pixel bytes are a pure function of doc/frame/byte
+# index); operators.multimodal.frame_sample fans each payload out to
+# every 2nd frame row (the map-side video analog of the shard grid),
+# and per-frame pixel sums are aggregated. The DuckDB oracle recomputes
+# frame membership and pixel sums from the same formulas, so the
+# sampling stride, frame-boundary math (4-byte header + H*W*3), and the
+# fan-out row shape are all hash-gated. Map-only; payloads never
+# shuffle — one input row fans out to frame rows inside the partition.
+# --------------------------------------------------------------------------
+FRAME_H, FRAME_W = 4, 5
+_FRAME_PIX = FRAME_H * FRAME_W * 3
+
+_FRAME_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS frame_idx
+  FROM documents),
+s AS (
+  SELECT doc_id, frame_idx,
+    SUM((doc_id * 5 + frame_idx * 11 + t.i * 3) % 256) AS pix_sum
+  FROM f, range(0, {_FRAME_PIX}) t(i)
+  GROUP BY doc_id, frame_idx)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST(pix_sum AS BIGINT) AS pix_sum
+FROM s WHERE frame_idx % 2 = 0
+"""
+
+
+@query("q_multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def q_multimodal_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hdr = int(FRAME_H).to_bytes(2, "little") + int(
+            FRAME_W
+        ).to_bytes(2, "little")
+        i_arr = np.arange(_FRAME_PIX, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = b"".join(
+                    hdr
+                    + ((d * 5 + fi * 11 + i_arr * 3) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for fi in range(3 + d % 5)
+                )
+                out.append((d, payload))
+            yield pd.DataFrame(out, columns=["item_id", "payload"])
+
+    frames = frame_sample(
+        docs.mapInPandas(build, "item_id long, payload binary"),
+        every_n=2,
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                pix = np.frombuffer(row.frame[4:], dtype=np.uint8)
+                out.append(
+                    (row.item_id, row.frame_idx, int(pix.sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "pix_sum"]
+            )
+
+    return frames.mapInPandas(
+        stats, "doc_id long, frame_idx int, pix_sum long"
+    )
+
+
+# --------------------------------------------------------------------------
+# image_features under the oracle gate: deterministic 12x10 fake-rgb8
+# payloads run through the REAL operator (decode -> per-channel means ->
+# 8x8 nearest-neighbor thumbnail), and the DuckDB oracle recomputes the
+# means from the pixel formula and the thumbnail byte sum from the same
+# nearest-neighbor index math (zi = r*H//T, xi = c*W//T) — so the
+# operator's decode plumbing, channel order, mean arithmetic, and
+# resize indexing are all hash-gated. (Means are exact across engines:
+# integer pixel sums are exactly representable doubles, divided once.)
+# --------------------------------------------------------------------------
+FEAT_H, FEAT_W, FEAT_T = 12, 10, 8
+
+_FEAT_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id, r.i AS r, c.i AS c,
+    (doc_id * 3 + r.i * 7 + c.i * 5) % 256 AS v0,
+    (doc_id * 4 + r.i * 7 + c.i * 5 + 1) % 256 AS v1,
+    (doc_id * 5 + r.i * 7 + c.i * 5 + 2) % 256 AS v2
+  FROM documents, range(0, {FEAT_H}) r(i), range(0, {FEAT_W}) c(i)),
+thumb AS (
+  SELECT d.doc_id,
+    SUM((d.doc_id * 3 + (tr.i * {FEAT_H} // {FEAT_T}) * 7
+         + (tc.i * {FEAT_W} // {FEAT_T}) * 5) % 256
+      + (d.doc_id * 4 + (tr.i * {FEAT_H} // {FEAT_T}) * 7
+         + (tc.i * {FEAT_W} // {FEAT_T}) * 5 + 1) % 256
+      + (d.doc_id * 5 + (tr.i * {FEAT_H} // {FEAT_T}) * 7
+         + (tc.i * {FEAT_W} // {FEAT_T}) * 5 + 2) % 256) AS tsum
+  FROM documents d, range(0, {FEAT_T}) tr(i), range(0, {FEAT_T}) tc(i)
+  GROUP BY d.doc_id)
+SELECT px.doc_id, {FEAT_H} AS height, {FEAT_W} AS width,
+  CAST(SUM(v0) AS DOUBLE) / {FEAT_H * FEAT_W} AS mean_r,
+  CAST(SUM(v1) AS DOUBLE) / {FEAT_H * FEAT_W} AS mean_g,
+  CAST(SUM(v2) AS DOUBLE) / {FEAT_H * FEAT_W} AS mean_b,
+  CAST(MAX(t.tsum) AS BIGINT) AS thumb_sum
+FROM px JOIN thumb t ON px.doc_id = t.doc_id
+GROUP BY px.doc_id
+"""
+
+
+@query("q_multimodal_image_features", oracle=_FEAT_ORACLE)
+def q_multimodal_image_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        FAKE_RGB8,
+        encode_fake_rgb8,
+        image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr = np.arange(FEAT_H, dtype=np.int64)[:, None]
+        cc = np.arange(FEAT_W, dtype=np.int64)[None, :]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = np.stack(
+                    [
+                        (d * 3 + rr * 7 + cc * 5) % 256,
+                        (d * 4 + rr * 7 + cc * 5 + 1) % 256,
+                        (d * 5 + rr * 7 + cc * 5 + 2) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                out.append((d, encode_fake_rgb8(img), FAKE_RGB8))
+            yield pd.DataFrame(
+                out, columns=["item_id", "payload", "media_format"]
+            )
+
+    feats = image_features(
+        docs.mapInPandas(
+            build, "item_id long, payload binary, media_format string"
+        ),
+        thumb_size=FEAT_T,
+    )
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                tsum = int(
+                    np.frombuffer(row.thumb, dtype=np.uint8)
+                    .astype(np.int64)
+                    .sum()
+                )
+                out.append(
+                    (
+                        row.item_id, row.height, row.width,
+                        row.mean_r, row.mean_g, row.mean_b, tsum,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "height", "width",
+                    "mean_r", "mean_g", "mean_b", "thumb_sum",
+                ],
+            )
+
+    return feats.mapInPandas(
+        finish,
+        "doc_id long, height int, width int, mean_r double, "
+        "mean_g double, mean_b double, thumb_sum long",
+    )
+
+
+# --------------------------------------------------------------------------
+# audio_features under the oracle gate: deterministic fake-pcm16
+# waveforms run through the REAL operator (decode -> rms / peak / zero
+# crossings); DuckDB recomputes all three from the sample formula. RMS
+# is cross-engine exact because both sides compute sqrt(int_sum / n)
+# where the integer sum of squares (< 2^53) is exactly representable
+# and divided once. Map-only, like every feature extractor here.
+# --------------------------------------------------------------------------
+AUD_BASE_N, AUD_N_MOD = 40, 17
+
+_AUD_FEAT_ORACLE = f"""
+WITH params AS (
+  SELECT doc_id, {AUD_BASE_N} + doc_id % {AUD_N_MOD} AS n
+  FROM documents),
+s AS (
+  SELECT p.doc_id, t.i,
+    ((p.doc_id * 13 + t.i * 29) % 2001) - 1000 AS v
+  FROM params p, range(0, {AUD_BASE_N + AUD_N_MOD}) t(i)
+  WHERE t.i < p.n),
+zc AS (
+  SELECT a.doc_id, COUNT(*) AS zcount
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE (a.v < 0) != (b.v < 0)
+  GROUP BY a.doc_id)
+SELECT p.doc_id,
+  CAST(p.n AS BIGINT) AS n_samples,
+  sqrt(CAST(CAST(SUM(s.v * s.v) AS BIGINT) AS DOUBLE) / p.n) AS rms,
+  CAST(MAX(ABS(s.v)) AS INT) AS peak,
+  CAST(COALESCE(MAX(z.zcount), 0) AS BIGINT) AS zero_crossings
+FROM params p
+JOIN s ON s.doc_id = p.doc_id
+LEFT JOIN zc z ON z.doc_id = p.doc_id
+GROUP BY p.doc_id, p.n
+"""
+
+
+@query("q_multimodal_audio_features", oracle=_AUD_FEAT_ORACLE)
+def q_multimodal_audio_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import FAKE_PCM16, audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = AUD_BASE_N + d % AUD_N_MOD
+                ii = np.arange(n, dtype=np.int64)
+                wave = (((d * 13 + ii * 29) % 2001) - 1000).astype(
+                    "<i2"
+                )
+                out.append((d, wave.tobytes(), FAKE_PCM16))
+            yield pd.DataFrame(
+                out, columns=["item_id", "payload", "media_format"]
+            )
+
+    feats = audio_features(
+        docs.mapInPandas(
+            build, "item_id long, payload binary, media_format string"
+        )
+    )
+    return feats.select(
+        F.col("item_id").alias("doc_id"),
+        "n_samples",
+        "rms",
+        "peak",
+        "zero_crossings",
+    )

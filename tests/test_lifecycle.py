@@ -21,8 +21,17 @@ PERSISTING = [
 ]
 
 
-def _n_cached_rdds(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _rdd_ids(spark) -> set:
+    """IDs of currently persisted RDDs. Tests assert on SET DIFFERENCES
+    of these, never on raw counts: the shared suite session can hold
+    localCheckpoint RDDs from earlier tests (connected_components pins
+    its edge lineage that way) which the ContextCleaner removes
+    asynchronously — a raw count can legitimately DROP mid-test."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
 
 
 @pytest.mark.parametrize("name", PERSISTING)
@@ -32,7 +41,7 @@ def test_managed_query_frees_storage(spark, name):
     )
 
     spark.catalog.clearCache()
-    before = _n_cached_rdds(spark)
+    before = _rdd_ids(spark)
     with managed_query(spark, SF_SMALL, name) as df:
         # collect(), not count(): count() over q_text_dup_5gram's
         # left-outer join lets Catalyst prove the distinct-keyed right
@@ -42,8 +51,10 @@ def test_managed_query_frees_storage(spark, name):
         assert rows > 0
         # the intermediate is materialized and registered while the
         # scope is open
-        assert _n_cached_rdds(spark) > before
-    assert _n_cached_rdds(spark) == before
+        new_ids = _rdd_ids(spark) - before
+        assert new_ids
+    # everything the query registered has been freed on scope exit
+    assert not (_rdd_ids(spark) & new_ids)
 
 
 def test_managed_query_leaves_caller_cache_alone(spark):
@@ -54,14 +65,15 @@ def test_managed_query_leaves_caller_cache_alone(spark):
     spark.catalog.clearCache()
     mine = spark.range(100).persist()
     mine.count()
-    base = _n_cached_rdds(spark)
-    assert base >= 1
+    base = _rdd_ids(spark)
+    assert base
     with managed_query(
         spark, SF_SMALL, "q_text_dup_5gram_corpus"
     ) as df:
         df.collect()
+        opened = _rdd_ids(spark) - base
     # the query's intermediate is gone, the caller's cache is not
-    assert _n_cached_rdds(spark) == base
+    assert not (_rdd_ids(spark) & opened)
     assert mine.storageLevel.useMemory
     mine.unpersist(blocking=True)
 
@@ -74,9 +86,9 @@ def test_unmanaged_path_unchanged(spark):
     from aind_exaspim_data_transformation_spark.queries import QUERIES
 
     spark.catalog.clearCache()
-    before = _n_cached_rdds(spark)
+    before = _rdd_ids(spark)
     QUERIES["q_text_dup_5gram_corpus"](spark, SF_SMALL).collect()
-    assert _n_cached_rdds(spark) > before
+    assert _rdd_ids(spark) - before
     spark.catalog.clearCache()
 
 
@@ -85,12 +97,13 @@ def test_run_query_public_entry_point(spark):
     result arrives AND the persisted intermediates are freed."""
     import aind_exaspim_data_transformation_spark as pkg
 
-    before = _n_cached_rdds(spark)
+    spark.catalog.clearCache()
+    before = _rdd_ids(spark)
     rows = pkg.run_query(spark, SF_SMALL, "q_text_dup_5gram_corpus")
     assert len(rows) > 0
-    assert _n_cached_rdds(spark) == before
+    assert not (_rdd_ids(spark) - before)
     n = pkg.run_query(
         spark, SF_SMALL, "q_dedup_exact", action=lambda df: df.count()
     )
     assert n > 0
-    assert _n_cached_rdds(spark) == before
+    assert not (_rdd_ids(spark) - before)
