@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._helpers import fan_out_small_scan, top_element_count
 from .lifecycle import track_persist
 from .registry import query
 
@@ -300,18 +301,10 @@ def q_docs_training_pipeline(
     DataFrame is lazy); long-lived sessions should run the query
     through ``lifecycle.managed_query``, which unpersists exactly this
     intermediate when the caller's scope exits."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     n = F.size(ws)
-    top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(ws),
-                lambda w: F.size(F.filter(ws, lambda x: x == w)),
-            )
-        ).cast("double")
-        / n
-    )
+    top_frac = top_element_count(ws).cast("double") / n
     bigrams = F.transform(
         F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
         lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),

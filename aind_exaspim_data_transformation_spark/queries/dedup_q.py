@@ -428,7 +428,7 @@ FROM sums
 
 @query("q_simhash", oracle=_simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )

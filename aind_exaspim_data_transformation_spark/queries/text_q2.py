@@ -11,8 +11,10 @@ Scale notes (100 TB):
 
 - Repetition signals are computed ROW-LOCALLY with array higher-order
   functions — a pure map over the corpus, no shuffle at all. The
-  ``top_unigram_frac`` inner loop is O(distinct_words x words) per row,
-  which is fine for natural documents (<= a few thousand words); for
+  ``top_unigram_frac`` count uses the sorted-run form
+  (``_helpers.top_element_count``: array_sort + one aggregate pass,
+  O(n log n) per row — the round-7 sf10 sweep measured the previous
+  O(distinct x n) transform/filter form at 3x the cost); for
   degenerate multi-MB documents switch to the explode + groupBy form
   used by ``q_text_tfidf_top_term``.
 - PII redaction is likewise map-only: regexp_count + regexp_replace are
@@ -36,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..sources.tables import load_table
+from ._helpers import fan_out_small_scan, top_element_count
 from .lifecycle import track_persist
 from .registry import query
 
@@ -91,7 +94,7 @@ def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of duplicated 2-grams / 3-grams. Entirely row-local
     (map-only) — the whole filter is one corpus pass with zero shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         _words().alias("ws"),
@@ -109,12 +112,7 @@ def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", w, F.element_at(ws, i + 2), F.element_at(ws, i + 3)
         ),
     )
-    top_unigram = F.array_max(
-        F.transform(
-            F.array_distinct(ws),
-            lambda w: F.size(F.filter(ws, lambda x: x == w)),
-        )
-    )
+    top_unigram = top_element_count(ws)
     grams = base.select(
         "doc_id",
         "n_words",

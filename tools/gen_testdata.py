@@ -57,8 +57,23 @@ def ts_us(days_array_us):
     return pa.array(days_array_us, pa.timestamp("us"))
 
 
+# Per-table row-group caps. pyarrow's default (1Mi rows/group) leaves
+# documents/embeddings as a SINGLE row group even at sf10 (500k/200k
+# rows) — and a one-group file is one Spark input split, serializing
+# every scan of the compute-heavy-per-row tables regardless of
+# maxPartitionBytes. Real deployments never look like that (many files,
+# many groups), so cap these tables' groups to keep the generated
+# layout scan-parallel; the big fact tables already split fine at the
+# default.
+_ROW_GROUP = {"documents": 16384, "embeddings": 16384, "events": 262144}
+
+
 def write(out, name, table):
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    pq.write_table(
+        table,
+        os.path.join(out, f"{name}.parquet"),
+        row_group_size=_ROW_GROUP.get(name),
+    )
     print(f"  {name}: {table.num_rows} rows")
 
 
