@@ -19,7 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._helpers import fan_out_small_scan
 from .registry import query
+
+
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id-only scan for the payload-builder queries, fanned out:
+    each row triggers real codec work inside mapInPandas, so the tiny
+    scan must not cap parallelism at the file's row-group count (3 at
+    sf1) — the textbook fan_out_small_scan case; a no-op at real scale
+    where scans split naturally."""
+    return fan_out_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
 CHUNK = 64  # bytes per chunk in the chunk-grid query
 IMG_H, IMG_W = 8, 10  # decode-stats image size (W=10 -> BMP row padding)
@@ -180,7 +192,7 @@ def q_multimodal_image_decode_stats(
         encode_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr = np.arange(IMG_H, dtype=np.int64)[:, None]
@@ -293,7 +305,7 @@ def q_multimodal_audio_decode_stats(
     from ..operators.media_codecs import encode_wav
     from ..operators.multimodal import decode_media
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def with_list_chunk(wav: bytes) -> bytes:
         # Splice an odd-sized LIST chunk between fmt and data (RIFF
@@ -403,7 +415,7 @@ def q_multimodal_jpeg_decode_stats(
     from ..operators.jpeg import encode_jpeg
     from ..operators.multimodal import decode_media
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     nb = JPEG_BLOCKS
     side = 8 * nb
 
@@ -491,7 +503,7 @@ FROM documents
 def q_multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mp4 import encode_mp4_skeleton, parse_mp4
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -605,7 +617,7 @@ def q_multimodal_jpeg_progressive_stats(
     from ..operators.jpeg import encode_jpeg
     from ..operators.multimodal import decode_media
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     nb = JPEG_BLOCKS
     side = 8 * nb
 
@@ -693,7 +705,7 @@ def q_multimodal_frame_sample(
 ) -> DataFrame:
     from ..operators.multimodal import frame_sample
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hdr = int(FRAME_H).to_bytes(2, "little") + int(
@@ -785,7 +797,7 @@ def q_multimodal_image_features(
         image_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr = np.arange(FEAT_H, dtype=np.int64)[:, None]
@@ -886,7 +898,7 @@ def q_multimodal_audio_features(
 ) -> DataFrame:
     from ..operators.multimodal import FAKE_PCM16, audio_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

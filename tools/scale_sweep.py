@@ -55,6 +55,13 @@ SHUFFLE_HEAVY = [
     # training-data assembly
     "q_docs_temperature_sample", "q_docs_pack_sequences",
     "q_docs_training_pipeline", "q_docs_stratified_sample",
+    # multimodal codecs/operators (map-only by design — swept to prove
+    # the per-row codec cost stays linear and payloads never shuffle)
+    "q_multimodal_image_decode_stats", "q_multimodal_audio_decode_stats",
+    "q_multimodal_jpeg_decode_stats",
+    "q_multimodal_jpeg_progressive_stats", "q_multimodal_mp4_meta",
+    "q_multimodal_frame_sample", "q_multimodal_image_features",
+    "q_multimodal_audio_features",
 ]
 
 
