@@ -502,6 +502,10 @@ def _reconstruct(comps, coefs, qt, h_img, w_img) -> np.ndarray:
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=2)
+    if len(full) != 3:
+        raise JpegError(
+            f"{len(full)}-component JPEG (CMYK/unknown) is not supported"
+        )
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

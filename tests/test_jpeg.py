@@ -358,3 +358,32 @@ def test_imageio_reads_our_progressive_flat_exact(spark, jvm, tmp_path,
     with open(p, "wb") as f:
         f.write(data)
     assert np.array_equal(_imageio_read(jvm, p, 16, 16), expected)
+
+
+def test_rejects_four_component_cmyk():
+    # Splice a 4th component into the SOF of a 444 file: the decoder
+    # must reject CMYK-style frames with a clear error instead of
+    # failing on color-transform unpacking.
+    import struct
+
+    plane = flat_block_plane(4)
+    data = bytearray(
+        encode_jpeg(np.stack([plane] * 3, axis=2), quality=50)
+    )
+    i = data.find(b"\xff\xc0")
+    (seglen,) = struct.unpack(">H", bytes(data[i + 2 : i + 4]))
+    # bump component count 3 -> 4 and append one component spec
+    assert data[i + 9] == 3
+    data[i + 9] = 4
+    insert_at = i + 2 + seglen
+    data[insert_at:insert_at] = bytes((4, 0x11, 1))  # id=4, 1x1, tq=1
+    struct.pack_into(">H", data, i + 2, seglen + 3)
+    # extend SOS to reference it too
+    j = data.find(b"\xff\xda")
+    (soslen,) = struct.unpack(">H", bytes(data[j + 2 : j + 4]))
+    assert data[j + 4] == 3
+    data[j + 4] = 4
+    data[j + 5 + 6 : j + 5 + 6] = bytes((4, 0x11))
+    struct.pack_into(">H", data, j + 2, soslen + 2)
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(data))
