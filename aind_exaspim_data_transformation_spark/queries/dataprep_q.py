@@ -103,6 +103,8 @@ def _temperature_probs(domained: DataFrame) -> DataFrame:
         "n",
         F.sqrt(F.col("n_d").cast("double") / F.col("n")).alias("w"),
     )
+    # Bounded state: list length = |domain vocabulary| (3 here, and by
+    # construction a small enum at any corpus scale) — round-8 skew audit.
     norm = dw.agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("domain", "w"))),

@@ -143,7 +143,9 @@ SELECT lang,
   COUNT(*) AS n_docs,
   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
-  md5(string_agg(text, '' ORDER BY doc_id)) AS corpus_digest
+  CAST(bit_xor(CAST(('0x' || substring(
+    md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)) AS UBIGINT))
+    AS BIGINT) AS corpus_digest
 FROM documents
 GROUP BY lang
 """
@@ -152,8 +154,12 @@ GROUP BY lang
 @query("q_avro_roundtrip_agg", oracle=_AVRO_ORACLE)
 def q_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> Avro container files (deflate) -> scan -> aggregate
-    incl. an order-pinned corpus digest, so every byte of every string
-    must survive the round trip, not just the counts."""
+    incl. a per-doc-keyed corpus digest (xor of md5(doc_id:text)), so
+    every byte of every string must survive the round trip — bound to
+    its doc_id, so even texts swapped between rows break the hash.
+    bit_xor keeps per-lang aggregation state at ONE scalar; the earlier
+    sorted-collect_list-of-texts digest held a language's entire corpus
+    in one group (round-8 skew audit)."""
     from ..sources.avro_datasource import AvroDataSource
 
     spark.dataSource.register(AvroDataSource)
@@ -167,16 +173,9 @@ def q_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").cast("long").alias("min_doc"),
-        F.md5(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("doc_id", "text"))
-                    ),
-                    lambda s: s["text"],
-                ),
-                F.lit(""),
-                lambda acc, t: F.concat(acc, t),
-            ).cast("binary")
+        F.expr(
+            "cast(bit_xor(cast(conv(substring(md5(cast(concat("
+            "cast(doc_id as string), ':', text) as binary)), 1, 15),"
+            " 16, 10) as bigint)) as bigint)"
         ).alias("corpus_digest"),
     )

@@ -162,7 +162,9 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ordered_dot() -> Column:
     """Dimension-sorted fold of v * comp for a (vec, plane) group —
     bit-deterministic under any partitioning, matching the oracle's
-    list_sum(list(... ORDER BY i))."""
+    list_sum(list(... ORDER BY i)). Bounded per-key state: the list
+    length is the embedding dimension D (schema constant), not data
+    volume (round-8 skew audit)."""
     return F.aggregate(
         F.array_sort(
             F.collect_list(
@@ -690,6 +692,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qid") != F.col("vec_id"))
         .groupBy("qid", F.col("vec_id").alias("cid"))
         .agg(
+            # Bounded per-key state: list length = M PQ subspaces
+            # (schema constant), sorted so the ADC sum is
+            # bit-deterministic (round-8 skew audit).
             F.round(
                 F.aggregate(
                     F.array_sort(
@@ -866,6 +871,14 @@ def _km_centroids(vecs: DataFrame) -> DataFrame:
             .select("k", F.posexplode("v").alias("pos", "val"))
             .select("k", (F.col("pos") + 1).alias("dim"), "val")
         )
+        # Skew-audit note (round 8): this per-(k, dim) sorted fold holds
+        # one cluster's members for one dimension in a group — the ONE
+        # deliberately order-gathering aggregation left in the registry.
+        # It exists solely so the centroid double is bit-identical to
+        # the oracle's list_sum(... ORDER BY) under any partitioning;
+        # the production form is plain avg(val) (single-scalar state,
+        # map-side combine), identical modulo float association — see
+        # COVERAGE.md "Unbounded-state audit".
         upd = exploded.groupBy("k", "dim").agg(
             (
                 F.aggregate(
@@ -876,6 +889,7 @@ def _km_centroids(vecs: DataFrame) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("c")
         )
+        # Bounded per-key state: list length = D dims (schema constant).
         cents = upd.groupBy("k").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "c"))),

@@ -3,18 +3,34 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: median sec of 3 warm runs, ...},
+ "queries": {name: median sec of 5 INTERLEAVED runs, ...},
+ "iqr": {name: interquartile range, ...},
  "spread": {name: [min, max], ...}, "sf": <sf>}
 
-Each query is timed as 1 untimed warm-up + 3 timed runs; the headline
-number is the per-query MEDIAN (round-over-round deltas on a single warm
-run are dominated by JVM/GC noise, not code). min/max spread is reported
-so a real regression is distinguishable from variance.
+Drift-proof protocol (round-7 verdict, What's wrong #2): single warm
+runs drift +/-10% round-over-round from machine noise alone, the same
+size as the regressions the bench exists to catch. Two defenses:
+
+1. INTERLEAVED repetitions — the rep loop is OUTER and the query loop
+   INNER (q1 q2 ... q13, q1 q2 ... five times), so slow machine drift
+   during the bench lands on every query equally instead of
+   concentrating on whichever query ran during the bad minute. Each
+   query reports the median + IQR of its 5 interleaved samples; an IQR
+   much smaller than a round-over-round delta marks the delta as real.
+2. A/B vs a pinned commit — ``tools/ab_bench.py HEAD git:<r7-commit>``
+   runs the SAME headline set from two checkouts in alternating ABBA
+   order (fresh JVM each side), which cancels drift entirely. The
+   per-round artifact for this lives in ROUND_NOTES; this script stays
+   single-process so the driver's per-round run is cheap.
 
 Headline set: one query per operator family, weighted toward the
 shuffle-heavy paths that dominate at scale (joins, aggregation, windows,
 dedup pair generation) plus the tensor conversion pipeline at a bench
-scale (synthetic source, pure write path).
+scale (synthetic source, pure write path). Round 8 swapped the LSH row
+from the uncapped contrast variant to `q_minhash_lsh_pairs_capped` —
+the production path users should run at scale (round-7 verdict, What's
+wrong #3); r7 medians for the uncapped row remain in BENCH_r07.json for
+comparability.
 """
 
 from __future__ import annotations
@@ -45,11 +61,13 @@ HEADLINE = [
     "q_topk_orders_per_customer",
     "q_events_session",
     "q_asof_click_purchase",
-    "q_minhash_lsh_pairs",
+    "q_minhash_lsh_pairs_capped",
     "q_text_tfidf_top_term",
     "q_knn_bruteforce",
     "q_shard_grid",
 ]
+
+REPS = 5
 
 
 def main() -> None:
@@ -63,25 +81,31 @@ def main() -> None:
     # queries, not session startup.
     QUERIES["q06_forecast_revenue"](spark, sf_dir).collect()
 
-    # Steady-state timing: run each query once untimed (whole-stage codegen
-    # compile + file-index population are one-time costs that amortize away
-    # on a long-lived cluster), then time THREE executions and take the
-    # median — single warm runs drift 10-40% round-over-round from JVM/GC
-    # noise alone. The cold first-run total is reported for transparency.
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
+    # One untimed warm-up pass over the whole set (whole-stage codegen
+    # compile + file-index population are one-time costs that amortize
+    # away on a long-lived cluster); the cold total is reported for
+    # transparency. Then REPS timed INTERLEAVED passes.
     cold_total = 0.0
     for name in HEADLINE:
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).collect()
         cold_total += time.monotonic() - t0
-        runs = []
-        for _ in range(3):
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(REPS):
+        for name in HEADLINE:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).collect()
-            runs.append(time.monotonic() - t0)
+            samples[name].append(time.monotonic() - t0)
+
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    iqr: dict[str, float] = {}
+    for name, runs in samples.items():
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        q1, _, q3 = statistics.quantiles(runs, n=4)
+        iqr[name] = round(q3 - q1, 3)
 
     # Tensor conversion throughput (the reference's core workload;
     # BASELINE.md comparable: 0.084 GB/s at 8-16 workers). Warm the
@@ -182,11 +206,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "iqr": iqr,
                 "spread": spread,
                 "sf": sf,
+                "reps": REPS,
+                "protocol": "interleaved",
                 "conversion_gbps": conversion_gbps,
                 "pyramid_compute_gbps": pyramid_compute_gbps,
                 "cold_first_run_total_sec": round(cold_total, 3),
+                "headline_note": (
+                    "r8: lsh row is q_minhash_lsh_pairs_capped (production"
+                    " path); r7 rows used the uncapped contrast variant"
+                ),
             }
         )
     )
