@@ -20,6 +20,17 @@ PNG/BMP/WAV/JPEG made image/audio decode real:
   minimal MP4 (ftyp + moov with full header/track/sample-table chain +
   mdat) so parser coverage does not depend on external sample files,
   mirroring the encoder-for-fixtures pattern of the other codecs.
+- ``demux_samples`` (round 8): expand the sample tables — stts decode
+  deltas, stsc chunk runs, stsz fixed/variable sizes, stco/co64 chunk
+  offsets — into per-sample ``(track, sample_idx, chunk_idx, offset,
+  size, dts)`` rows, i.e. the byte ranges a demuxer hands to a frame
+  decoder. This is the step that splits an mp4 into per-frame payload
+  rows; only the frame *bitstream* decode past it stays stubbed.
+- ``encode_mp4_media``: like the skeleton writer but with real sample
+  payloads laid out in ``mdat`` (multi-chunk stsc runs, variable or
+  constant stsz, stco or co64). ``mdat`` precedes ``moov`` so every
+  chunk offset is a closed-form function of the sample sizes alone —
+  which is what lets the DuckDB oracle recompute offsets exactly.
 
 The oracle-gated query ``q_multimodal_mp4_meta`` encodes a skeleton per
 document from closed-form parameters, parses it back, and DuckDB
@@ -187,6 +198,155 @@ def parse_mp4(data: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
+# Sample-table demux: per-sample byte ranges + decode timestamps.
+# --------------------------------------------------------------------------
+def _table_u32(data: bytes, p: int, n: int) -> list[int]:
+    return list(struct.unpack(f">{n}I", data[p : p + 4 * n]))
+
+
+def demux_samples(data: bytes) -> list[dict]:
+    """Expand every track's sample tables into per-sample rows.
+
+    Returns a flat list of dicts ``{"track_id", "handler", "codec",
+    "sample_idx" (1-based), "chunk_idx" (1-based), "offset" (absolute
+    file offset), "size", "dts" (media-timescale units from stts)}``,
+    in (track, sample) order. This is the ISO/IEC 14496-12 §8.7
+    chunk-walk: stsc maps chunks to sample counts, stco/co64 gives each
+    chunk's file offset, samples within a chunk are contiguous in
+    stsz order, and stts runs accumulate into decode timestamps.
+    Raises Mp4Error when the tables disagree (sample counts, chunk
+    counts) or a required table is missing.
+    """
+    meta_rows: list[dict] = []
+    moov = _find(data, 0, len(data), "moov")
+    if moov is None:
+        raise Mp4Error("no moov box")
+    for tag, b, e in _walk(data, *moov):
+        if tag != "trak":
+            continue
+        tkhd = _find(data, b, e, "tkhd")
+        if tkhd is None:
+            raise Mp4Error("trak missing tkhd")
+        track_id = _parse_tkhd(data, *tkhd)["track_id"]
+        mdia = _find(data, b, e, "mdia")
+        if mdia is None:
+            raise Mp4Error("trak missing mdia")
+        hdlr = _find(data, *mdia, "hdlr")
+        handler = (
+            _fourcc(data[hdlr[0] + 8 : hdlr[0] + 12]) if hdlr else None
+        )
+        minf = _find(data, *mdia, "minf")
+        stbl = _find(data, *minf, "stbl") if minf else None
+        if stbl is None:
+            raise Mp4Error(f"track {track_id} has no sample table")
+        sb, se = stbl
+
+        codec = None
+        stsd = _find(data, sb, se, "stsd")
+        if stsd is not None:
+            _v, _f, p = _fullbox(data, stsd[0])
+            (entry_count,) = struct.unpack(">I", data[p : p + 4])
+            if entry_count:
+                codec = _fourcc(data[p + 8 : p + 12])
+
+        stsz = _find(data, sb, se, "stsz")
+        if stsz is None:
+            raise Mp4Error(f"track {track_id} missing stsz")
+        _v, _f, p = _fullbox(data, stsz[0])
+        fixed_size, n_samples = struct.unpack(">II", data[p : p + 8])
+        if fixed_size:
+            sizes = [fixed_size] * n_samples
+        else:
+            sizes = _table_u32(data, p + 8, n_samples)
+
+        stts = _find(data, sb, se, "stts")
+        if stts is None:
+            raise Mp4Error(f"track {track_id} missing stts")
+        _v, _f, p = _fullbox(data, stts[0])
+        (n_runs,) = struct.unpack(">I", data[p : p + 4])
+        dts: list[int] = []
+        t = 0
+        for r in range(n_runs):
+            cnt, delta = struct.unpack(
+                ">II", data[p + 4 + 8 * r : p + 12 + 8 * r]
+            )
+            for _ in range(cnt):
+                dts.append(t)
+                t += delta
+        if len(dts) != n_samples:
+            raise Mp4Error(
+                f"track {track_id}: stts covers {len(dts)} samples,"
+                f" stsz declares {n_samples}"
+            )
+
+        co = _find(data, sb, se, "stco")
+        if co is not None:
+            _v, _f, p = _fullbox(data, co[0])
+            (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+            chunk_offsets = _table_u32(data, p + 4, n_chunks)
+        else:
+            co = _find(data, sb, se, "co64")
+            if co is None:
+                raise Mp4Error(f"track {track_id} missing stco/co64")
+            _v, _f, p = _fullbox(data, co[0])
+            (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+            chunk_offsets = list(
+                struct.unpack(f">{n_chunks}Q", data[p + 4 : p + 4 + 8 * n_chunks])
+            )
+
+        stsc = _find(data, sb, se, "stsc")
+        if stsc is None:
+            raise Mp4Error(f"track {track_id} missing stsc")
+        _v, _f, p = _fullbox(data, stsc[0])
+        (n_entries,) = struct.unpack(">I", data[p : p + 4])
+        runs = [
+            struct.unpack(">III", data[p + 4 + 12 * r : p + 16 + 12 * r])
+            for r in range(n_entries)
+        ]
+
+        # Walk chunks in order; each stsc run applies from its
+        # first_chunk until the next run's first_chunk (exclusive).
+        si = 0
+        for ri, (first_chunk, spc, _desc) in enumerate(runs):
+            last_chunk = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            )
+            for c in range(first_chunk, last_chunk + 1):
+                if c > n_chunks:
+                    raise Mp4Error(
+                        f"track {track_id}: stsc chunk {c} beyond"
+                        f" stco's {n_chunks}"
+                    )
+                off = chunk_offsets[c - 1]
+                for _ in range(spc):
+                    if si >= n_samples:
+                        raise Mp4Error(
+                            f"track {track_id}: stsc yields more"
+                            f" samples than stsz's {n_samples}"
+                        )
+                    meta_rows.append(
+                        {
+                            "track_id": track_id,
+                            "handler": handler,
+                            "codec": codec,
+                            "sample_idx": si + 1,
+                            "chunk_idx": c,
+                            "offset": off,
+                            "size": sizes[si],
+                            "dts": dts[si],
+                        }
+                    )
+                    off += sizes[si]
+                    si += 1
+        if si != n_samples:
+            raise Mp4Error(
+                f"track {track_id}: chunk walk covered {si} of"
+                f" {n_samples} samples"
+            )
+    return meta_rows
+
+
+# --------------------------------------------------------------------------
 # Skeleton writer (fixtures/tests)
 # --------------------------------------------------------------------------
 def _box(tag: bytes, body: bytes) -> bytes:
@@ -291,3 +451,175 @@ def encode_mp4_skeleton(
     if mdat_bytes:
         out += _box(b"mdat", mdat_bytes)
     return out
+
+
+# --------------------------------------------------------------------------
+# Media writer: real per-sample payloads, multi-chunk sample tables.
+# --------------------------------------------------------------------------
+_FTYP = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+
+
+def _rle(values: list[int]) -> list[tuple[int, int]]:
+    runs: list[tuple[int, int]] = []
+    for v in values:
+        if runs and runs[-1][1] == v:
+            runs[-1] = (runs[-1][0] + 1, v)
+        else:
+            runs.append((1, v))
+    return runs
+
+
+def encode_mp4_media(
+    timescale: int,
+    tracks: list[dict],
+    use_co64: bool = False,
+) -> bytes:
+    """Build an MP4 whose ``mdat`` holds real sample payloads.
+
+    Each track dict: ``{"track_id", "handler" ('vide'|'soun'),
+    "codec" (fourcc), "width", "height", "media_timescale",
+    "sample_sizes": [int, ...], "sample_deltas": [int, ...],
+    "samples_per_chunk": int, "fill": callable(sample_idx_1based) ->
+    byte value}``. Samples are laid out per track, per chunk, in
+    order; sample *i* is ``sizes[i-1]`` copies of ``fill(i)``.
+
+    Layout is ``ftyp + mdat + moov`` — offsets never depend on the
+    (variable) moov size, so chunk offsets are a closed-form prefix
+    sum of the sample sizes: the property the cross-engine demux
+    oracle recomputes. stsz auto-selects its fixed-size form when all
+    sizes agree (both parse paths stay covered); ``use_co64`` selects
+    64-bit chunk offsets.
+    """
+    base = len(_FTYP) + 8  # mdat header
+    mdat = bytearray()
+    per_track_chunks: list[list[int]] = []
+    for t in tracks:
+        sizes = t["sample_sizes"]
+        spc = t["samples_per_chunk"]
+        offsets: list[int] = []
+        for i, size in enumerate(sizes):
+            if i % spc == 0:
+                offsets.append(base + len(mdat))
+            mdat += bytes([t["fill"](i + 1) & 0xFF]) * size
+        per_track_chunks.append(offsets)
+
+    moov_children = b""
+    movie_duration = 0
+    for t, chunk_offsets in zip(tracks, per_track_chunks):
+        sizes = t["sample_sizes"]
+        deltas = t["sample_deltas"]
+        if len(sizes) != len(deltas):
+            raise Mp4Error("sample_sizes and sample_deltas disagree")
+        spc = t["samples_per_chunk"]
+        n = len(sizes)
+        media_duration = sum(deltas)
+        movie_duration = max(
+            movie_duration,
+            media_duration * timescale // t["media_timescale"],
+        )
+
+        tkhd_body = (
+            struct.pack(">IIIII", 0, 0, t["track_id"], 0, 0)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + _UNITY_MATRIX
+            + struct.pack(">II", t["width"] << 16, t["height"] << 16)
+        )
+        tkhd = _full(b"tkhd", 0, 7, tkhd_body)
+        mdhd = _full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(
+                ">IIII", 0, 0, t["media_timescale"], media_duration
+            )
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _full(
+            b"hdlr",
+            0,
+            0,
+            b"\x00" * 4
+            + t["handler"].encode("latin-1")
+            + b"\x00" * 12
+            + b"engine\x00",
+        )
+
+        entry = _box(t["codec"].encode("latin-1"), b"")
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        runs = _rle(deltas)
+        stts = _full(
+            b"stts",
+            0,
+            0,
+            struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">II", c, d) for c, d in runs),
+        )
+        # stsc runs: uniform spc, plus a short final chunk when n % spc
+        # leaves a remainder (and more than one chunk exists).
+        rem = n % spc
+        if n <= spc:
+            sc_runs = [(1, n or 0, 1)]
+        elif rem:
+            sc_runs = [(1, spc, 1), (len(chunk_offsets), rem, 1)]
+        else:
+            sc_runs = [(1, spc, 1)]
+        stsc = _full(
+            b"stsc",
+            0,
+            0,
+            struct.pack(">I", len(sc_runs))
+            + b"".join(struct.pack(">III", *r) for r in sc_runs),
+        )
+        if sizes and len(set(sizes)) == 1:
+            stsz = _full(
+                b"stsz", 0, 0, struct.pack(">II", sizes[0], n)
+            )
+        else:
+            stsz = _full(
+                b"stsz",
+                0,
+                0,
+                struct.pack(">II", 0, n)
+                + struct.pack(f">{n}I", *sizes),
+            )
+        if use_co64:
+            co = _full(
+                b"co64",
+                0,
+                0,
+                struct.pack(">I", len(chunk_offsets))
+                + struct.pack(
+                    f">{len(chunk_offsets)}Q", *chunk_offsets
+                ),
+            )
+        else:
+            co = _full(
+                b"stco",
+                0,
+                0,
+                struct.pack(">I", len(chunk_offsets))
+                + struct.pack(
+                    f">{len(chunk_offsets)}I", *chunk_offsets
+                ),
+            )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
+        if t["handler"] == "soun":
+            mhd = _full(b"smhd", 0, 0, struct.pack(">hH", 0, 0))
+        else:
+            mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        minf = _box(b"minf", mhd + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        moov_children += _box(b"trak", tkhd + mdia)
+
+    mvhd_body = (
+        struct.pack(">IIII", 0, 0, timescale, movie_duration)
+        + struct.pack(">i", 0x10000)
+        + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", max(t["track_id"] for t in tracks) + 1)
+    )
+    moov = _full(b"mvhd", 0, 0, mvhd_body) + moov_children
+    return _FTYP + _box(b"mdat", bytes(mdat)) + _box(b"moov", moov)

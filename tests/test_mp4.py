@@ -89,3 +89,108 @@ def test_overrunning_box_raises():
 def test_garbage_raises():
     with pytest.raises(Mp4Error):
         parse_mp4(b"\x00\x01")
+
+
+# --------------------------------------------------------------------------
+# Sample-table demux (round 8): per-sample byte ranges + timestamps.
+# --------------------------------------------------------------------------
+from aind_exaspim_data_transformation_spark.operators.mp4 import (  # noqa: E402
+    demux_samples,
+    encode_mp4_media,
+)
+
+
+def _media_tracks(n_v=10, spc=4, n_a=5):
+    return [
+        {
+            "track_id": 1, "handler": "vide", "codec": "avc1",
+            "width": 320, "height": 240, "media_timescale": 30000,
+            "sample_sizes": [100 + (i * 7) % 50 for i in range(n_v)],
+            "sample_deltas": [1001] * (n_v // 2) + [2002] * (n_v - n_v // 2),
+            "samples_per_chunk": spc,
+            "fill": lambda i: (13 * i) % 256,
+        },
+        {
+            "track_id": 2, "handler": "soun", "codec": "mp4a",
+            "width": 0, "height": 0, "media_timescale": 48000,
+            "sample_sizes": [64] * n_a,
+            "sample_deltas": [1024] * n_a,
+            "samples_per_chunk": n_a,
+            "fill": lambda i: (101 * i) % 256,
+        },
+    ]
+
+
+@pytest.mark.parametrize("use_co64", [False, True])
+def test_demux_roundtrip_offsets_and_payloads(use_co64):
+    tracks = _media_tracks()
+    data = encode_mp4_media(600, tracks, use_co64=use_co64)
+    rows = demux_samples(data)
+    vid = [r for r in rows if r["handler"] == "vide"]
+    aud = [r for r in rows if r["handler"] == "soun"]
+    assert len(vid) == 10 and len(aud) == 5
+    # Offsets are the closed-form prefix sum over mdat (base = ftyp 24
+    # + mdat header 8), video first then audio; payload bytes at each
+    # offset are the fill value — a wrong offset reads a wrong byte.
+    base = 32
+    for r in vid:
+        assert r["offset"] == base
+        assert (
+            data[r["offset"] : r["offset"] + r["size"]]
+            == bytes([(13 * r["sample_idx"]) % 256]) * r["size"]
+        )
+        base += r["size"]
+    for r in aud:
+        assert r["offset"] == base
+        assert (
+            data[r["offset"] : r["offset"] + r["size"]]
+            == bytes([(101 * r["sample_idx"]) % 256]) * r["size"]
+        )
+        base += r["size"]
+    # Multi-run stts: first 5 samples at delta 1001, rest at 2002.
+    assert [r["dts"] for r in vid[:6]] == [0, 1001, 2002, 3003, 4004, 5005]
+    assert vid[6]["dts"] == 5005 + 2002
+    # stsc chunk walk: 4+4+2 samples over 3 chunks.
+    assert [r["chunk_idx"] for r in vid] == [1] * 4 + [2] * 4 + [3] * 2
+    # audio uses the FIXED-size stsz form (constant 64) in one chunk.
+    assert all(r["size"] == 64 and r["chunk_idx"] == 1 for r in aud)
+
+
+def test_demux_exact_chunk_multiple_single_stsc_run():
+    tracks = _media_tracks(n_v=8, spc=4, n_a=1)
+    data = encode_mp4_media(600, tracks)
+    vid = [r for r in demux_samples(data) if r["handler"] == "vide"]
+    assert [r["chunk_idx"] for r in vid] == [1] * 4 + [2] * 4
+
+
+def test_demux_meta_agrees_with_parse():
+    data = encode_mp4_media(600, _media_tracks())
+    meta = parse_mp4(data)
+    rows = demux_samples(data)
+    assert meta["tracks"][0]["n_samples"] == sum(
+        1 for r in rows if r["track_id"] == 1
+    )
+    assert {r["codec"] for r in rows} == {"avc1", "mp4a"}
+
+
+def test_demux_inconsistent_tables_raise():
+    tracks = _media_tracks(n_v=9, spc=4)
+    data = bytearray(encode_mp4_media(600, tracks))
+    # Corrupt stsz's declared count (9 -> 7): the stsc chunk walk then
+    # yields more samples than stsz declares.
+    idx = bytes(data).find(b"stsz")
+    # fullbox(4) + sample_size(4) then count
+    struct.pack_into(">I", data, idx + 4 + 4 + 4, 7)
+    with pytest.raises(Mp4Error, match="stts covers|more"):
+        demux_samples(bytes(data))
+
+
+def test_demux_missing_stbl_raises():
+    data = encode_mp4_skeleton(600, 600, TRACKS[:1])
+    # skeleton has a stbl; strip nothing — instead check stco removal
+    # by corrupting its tag so the table is "missing".
+    data = bytearray(data)
+    idx = bytes(data).find(b"stco")
+    data[idx : idx + 4] = b"free"
+    with pytest.raises(Mp4Error, match="stco"):
+        demux_samples(bytes(data))
