@@ -60,25 +60,20 @@ SHUFFLE_HEAVY = [
     "q_multimodal_image_decode_stats", "q_multimodal_audio_decode_stats",
     "q_multimodal_jpeg_decode_stats",
     "q_multimodal_jpeg_progressive_stats", "q_multimodal_mp4_meta",
+    "q_multimodal_mp4_demux",
     "q_multimodal_frame_sample", "q_multimodal_image_features",
     "q_multimodal_audio_features",
 ]
 
 
-# Queries whose DuckDB oracle is a RECURSIVE transitive closure —
-# correct and tractable at the driver's gate SF (0.01; also swept at
-# 0.1) but quadratic in cluster size by construction (`reach` holds
-# k^2 rows per k-member component), so at sf1+ on this corpus (30-word
-# vocabulary -> giant signature-collision clusters) the ORACLE, not the
-# engine, is infeasible. The sweep runs them rows-only at scale; the
-# Spark side stays the measured subject. Override with SWEEP_ORACLE_ALL=1.
-ORACLE_INFEASIBLE_AT_SCALE = {"q_dedup_clusters", "q_dedup_keep_canonical"}
-# Additional per-run oracle skips (comma-separated query names), for
-# oracles that are fine at one SF but blow past memory at another —
-# e.g. the ANN-family oracles compute every hyperplane/centroid dot
-# product as an embeddings-x-planes CROSS JOIN with list aggregation
-# (512M rows at sf10), whose allocations DuckDB's memory_limit does not
-# fully govern.
+# Round 8 closed the sf10 oracle gap: the cluster oracles' k^2
+# recursive closure became iterative min-label propagation + pointer
+# doubling (V + E rows per round), and the ANN oracles' per-dimension
+# embeddings-x-planes explode (512M grouped rows at sf10) became
+# index-ordered list kernels over pre-aggregated plane lists — all
+# verified bit-identical at sf0.01-sf1. The built-in skip set is now
+# EMPTY; SWEEP_SKIP_ORACLE remains as an escape hatch for ad-hoc runs.
+ORACLE_INFEASIBLE_AT_SCALE: set[str] = set()
 ORACLE_INFEASIBLE_AT_SCALE |= {
     n for n in os.environ.get("SWEEP_SKIP_ORACLE", "").split(",") if n
 }
