@@ -231,7 +231,18 @@ def _lsh_pairs_plan(
             .where(F.col("bsz") <= max_bucket)
             .drop("bsz")
         )
-    x = bands.alias("x")
+    # Pin the self-join to sort-merge (round 8): both sides are the
+    # SAME corpus-scale band relation, so a broadcast is never the
+    # right physical pick — but the static planner estimates the
+    # not-yet-materialized cached-sigs subtree as tiny and chooses
+    # BroadcastHashJoin, and whether AQE demotes it at runtime races
+    # the cache-stage statistics (measured at sf10: demoted -> ~60 s;
+    # kept -> ~600 s building a 984 MiB broadcast and probing it with
+    # the interpreted zip_with match predicate; three slow + three
+    # fast runs on identical code/data before the hint). The explicit
+    # hint survives AQE re-optimization, making the plan deterministic
+    # at every SF — and is the only correct choice at 100 TB.
+    x = bands.alias("x").hint("merge")
     y = bands.alias("y")
     matches = F.aggregate(
         F.zip_with(
