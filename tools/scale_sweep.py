@@ -93,6 +93,10 @@ def main() -> int:
     spark = get_spark(
         "scale-sweep",
         cpus=int(os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "32")),
+        # The sweep collects every query's full result (driver-side
+        # hash protocol); row-per-sample queries (mp4 demux: ~20M rows
+        # at sf30) pass 1 GiB of Arrow batches, over the 1g default.
+        extra_conf={"spark.driver.maxResultSize": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
