@@ -184,3 +184,29 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_self_join_pinned_sort_merge(spark):
+    """Round-8 regression guard: the bands self-join must stay
+    SortMergeJoin. The static planner under-estimates the
+    not-yet-materialized cached-signatures subtree and would plan a
+    BroadcastHashJoin whose build side materializes at ~1 GiB at sf10
+    (demoted by AQE only when the cache-stage statistics race is won —
+    measured 60 s vs 600 s on identical runs). The merge hint makes
+    the plan deterministic; a corpus-scale self-join must never
+    broadcast."""
+    for name in ("q_minhash_lsh_pairs", "q_minhash_lsh_pairs_capped"):
+        tree = _tree(_plan(spark, name))
+        assert "SortMergeJoin" in tree, name
+        assert "BroadcastHashJoin" not in tree, name
+
+
+def test_funnel_bounded_state_plan(spark):
+    """Round-8 regression guard: the funnel must aggregate with
+    min-only state (map-side partial combine), never per-user
+    collect_list arrays (the r7 skew hazard), and each stage's
+    event_type predicate must reach the parquet scan."""
+    plan = _plan(spark, "q_events_funnel")
+    assert "collect_list" not in plan
+    assert "partial_min" in plan  # map-side combine of the staged mins
+    assert "EqualTo(event_type,view)" in plan  # pushed stage filter
