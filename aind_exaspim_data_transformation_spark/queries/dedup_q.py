@@ -158,8 +158,13 @@ def _lsh_pairs_sql(max_bucket: int | None = None) -> str:
         f"md5(concat(sig_{2 * b}, sig_{2 * b + 1})) AS band_key FROM sigs"
         for b in range(N_BANDS)
     )
+    # 60-bit-prefix equality — the exact predicate the Spark side
+    # evaluates on packed longs (round 8; 2^-60 collision, identical
+    # on both engines, and it keeps the estimator in whole-stage
+    # codegen instead of an interpreted array fold).
     est = " + ".join(
-        f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+        f"(CASE WHEN substring(a.sig_{i}, 1, 15)"
+        f" = substring(b.sig_{i}, 1, 15) THEN 1 ELSE 0 END)"
         for i in range(N_HASHES)
     )
     kept_cte, side = "", "bands"
@@ -195,20 +200,36 @@ def _lsh_pairs_plan(
     the degenerate-bucket guard) — banding, match estimator, and
     threshold live in exactly one place, mirroring _lsh_pairs_sql.
 
-    Signatures travel WITH the band rows as an array column, so
-    candidate pairs carry both signatures out of the bucket join — no
-    re-join back to the signature table (2 shuffles saved; at scale
-    the join back would reshuffle the full signature relation per
-    side).
+    Round-8 restructure, the distinct-first shape the ORACLE always
+    had: the bucket self-join carries ONLY (doc_id, band, band_key) —
+    never signature payloads — and the match estimator runs AFTER the
+    pair DISTINCT, against the signature relation joined back on
+    doc_id. The previous shape (signatures riding the band rows as an
+    array column, match count as a zip_with fold in the join output)
+    let Catalyst push the ``m >= N/2`` filter into the join condition,
+    so the interpreted (non-codegen) fold ran once per BUCKET-PROBE
+    pair — sum of bucket^2, 484M evaluations at sf10 — and the
+    non-codegen eval path is JVM-bimodal (109-669 s for identical
+    runs, SCALE_r08.json). Now the estimator is eight packed-long
+    equality comparisons (pure whole-stage codegen, no arrays), runs
+    once per DISTINCT pair (3.87M at sf10 uncapped — 125x fewer), and
+    the band shuffle carries ~10x fewer bytes. The sig joins are two
+    extra co-partitioned exchanges of the (packed, 8x8-byte) signature
+    relation — the right trade at any scale.
+
+    Signatures are packed to the first 60 bits of each md5 (exact
+    prefix of the hex the oracle compares with ``substring(.., 1,
+    15)`` — identical predicate, 2^-60 collision, same on both
+    engines).
 
     Cache at the SIGNATURE boundary, not the band boundary: projection
     collapsing would otherwise inline the (interpreted, non-codegen)
-    minhash lambda chain into the sig array AND all four band keys —
-    ~16 evaluations of the transform per row. Caching sigs makes every
-    downstream reference a plain column read; the band rows derived
-    from it are cheap (4 md5s of short strings) on each join side."""
+    minhash lambda chain into the packed columns AND all four band
+    keys — ~16 evaluations of the transform per row. Caching sigs
+    makes every downstream reference a plain column read; the band
+    rows derived from it are cheap (4 md5s of short strings) on each
+    join side."""
     sigs = track_persist(_minhash_signatures(spark, sf_dir))
-    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)])
     band_keys = F.array(
         *[
             F.md5(F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}")))
@@ -219,7 +240,6 @@ def _lsh_pairs_plan(
     # lineage per branch).
     bands = sigs.select(
         "doc_id",
-        sig_arr.alias("sig"),
         F.posexplode(band_keys).alias("band", "band_key"),
     )
     if max_bucket is not None:
@@ -244,16 +264,7 @@ def _lsh_pairs_plan(
     # at every SF — and is the only correct choice at 100 TB.
     x = bands.alias("x").hint("merge")
     y = bands.alias("y")
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("x.sig"),
-            F.col("y.sig"),
-            lambda a, b: F.when(a == b, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (
+    cand = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -263,9 +274,31 @@ def _lsh_pairs_plan(
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            matches.alias("m"),
         )
         .distinct()
+    )
+
+    def packed(side: str) -> DataFrame:
+        # 60-bit md5 prefixes as longs: the oracle compares
+        # substring(sig, 1, 15) — bit-for-bit the same predicate.
+        return sigs.select(
+            F.col("doc_id").alias(f"doc_{side}"),
+            *[
+                F.conv(F.substring(f"sig_{i}", 1, 15), 16, 10)
+                .cast("long")
+                .alias(f"{side}p_{i}")
+                for i in range(N_HASHES)
+            ],
+        ).hint("merge")
+
+    m = sum(
+        F.when(F.col(f"ap_{i}") == F.col(f"bp_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        cand.join(packed("a"), "doc_a")
+        .join(packed("b"), "doc_b")
+        .withColumn("m", m)
         .where(F.col("m") >= N_HASHES // 2)
         .select(
             "doc_a",
