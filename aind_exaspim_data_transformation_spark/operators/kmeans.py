@@ -1,0 +1,136 @@
+"""Production distributed k-means (Lloyd's) — the scale-first form.
+
+The registry query ``q_kmeans_embeddings`` (queries/similarity_q.py)
+computes its centroid update with a deliberately order-gathering sorted
+fold so the resulting doubles are bit-identical to the DuckDB oracle's
+``list_sum(... ORDER BY)`` under any partitioning — a documented
+oracle-determinism exception, NOT the shape you would run at 100 TB
+(it holds one cluster's members for one dimension in a single
+aggregation group).
+
+This module is the production twin (round-8 verdict, Next #7):
+
+- ``assign_nearest``: nearest-centroid assignment as a **map-only**
+  expression — the K x D codebook is folded into the plan as a literal
+  array of structs (the broadcast-codebook pattern; K x D doubles is
+  bounded at any corpus scale), the per-row argmin is an
+  ``array_min`` over a ``transform`` fold, all inside whole-stage
+  codegen. No crossJoin row blow-up, no per-vector window sort, zero
+  shuffle.
+- ``update_centroids``: plain ``avg(val)`` per (k, dim) — one scalar
+  of aggregation state per group with map-side combine, then a K-row
+  bounded collect to rebuild the codebook. Float association order is
+  whatever the partitioning gives (identical to the deterministic fold
+  modulo float associativity).
+- ``lloyd``: the driver loop — iters × (map-only assign → one
+  partial-aggregated shuffle of K*D groups → K-row collect).
+
+Per iteration the only shuffle is the (k, dim) partial aggregation —
+K*D groups regardless of corpus size — and the only driver traffic is
+K*D doubles. That is the textbook scalable Lloyd's layout.
+
+Reference parity note: the reference repo has no k-means; this is part
+of the LLM-training-data operator family (brief: clustering for corpus
+curation). Equality vs the deterministic-fold form is property-tested
+in tests/test_kmeans_production.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Codebook = list[tuple[int, list[float]]]  # [(k, [D floats]), ...]
+
+
+def _codebook_literal(centroids: Codebook) -> F.Column:
+    """The K x D codebook as a literal array<struct<k, c array<double>>>
+    column — the plan-embedded equivalent of a broadcast: every task
+    evaluates against its local copy, nothing shuffles."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("k"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for k, c in centroids
+        ]
+    )
+
+
+def assign_nearest(
+    vecs: DataFrame, centroids: Codebook, vec_col: str = "v"
+) -> DataFrame:
+    """Append the nearest-centroid id as column ``k`` — map-only.
+
+    Ties break on the lower centroid id (same rule as the registry
+    query's ``ORDER BY d2, k`` window and the oracle's
+    ``min(struct_pack(d := d2, k := k))``): struct comparison is
+    field-order lexicographic, so ``array_min`` over (d2, k) structs
+    implements exactly that tie-break.
+    """
+    v = F.col(vec_col)
+    scored = F.transform(
+        _codebook_literal(centroids),
+        lambda cent: F.struct(
+            F.aggregate(
+                F.zip_with(v, cent["c"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            cent["k"].alias("k"),
+        ),
+    )
+    return vecs.withColumn("k", F.array_min(scored)["k"])
+
+
+def update_centroids(
+    assigned: DataFrame, vec_col: str = "v"
+) -> Codebook:
+    """Mean of each cluster's members, production form: posexplode to
+    (k, dim, val) then plain ``avg`` — single-scalar aggregation state,
+    map-side combine, K*D groups total — followed by a bounded K*D-value
+    collect. Clusters that lost all members simply vanish (the
+    deterministic-fold form drops them the same way)."""
+    per_dim = (
+        assigned.select("k", F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("k", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    rows = per_dim.collect()  # bounded: K*D doubles
+    by_k: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_k.setdefault(r["k"], {})[r["dim"]] = r["c"]
+    return [
+        (k, [dims[i] for i in range(len(dims))])
+        for k, dims in sorted(by_k.items())
+    ]
+
+
+def seed_first_k(vecs: DataFrame, k: int, id_col: str = "vec_id",
+                 vec_col: str = "v") -> Codebook:
+    """Deterministic seed: the vectors with the ``k`` smallest ids
+    (matches the registry query / oracle seed ``vec_id < K``)."""
+    rows = (
+        vecs.where(F.col(id_col) < k)
+        .select(F.col(id_col).alias("k"), F.col(vec_col).alias("c"))
+        .collect()
+    )
+    return sorted((r["k"], list(r["c"])) for r in rows)
+
+
+def lloyd(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> Codebook:
+    """``iters`` Lloyd rounds from the first-k seed; returns the final
+    codebook. Per round: one map-only assignment pass + one K*D-group
+    partial-aggregated shuffle + one K*D-double collect."""
+    centroids = seed_first_k(vecs, k, id_col=id_col, vec_col=vec_col)
+    for _ in range(iters):
+        assigned = assign_nearest(vecs, centroids, vec_col=vec_col)
+        centroids = update_centroids(assigned, vec_col=vec_col)
+    return centroids

@@ -26,8 +26,34 @@ boundaries, broadcast into the expression), interleave bits JVM-side,
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _managed_table_location(spark: SparkSession, table_name: str) -> Path | None:
+    """Local filesystem path where the managed table ``table_name`` would
+    live, or ``None`` when the warehouse is not on a local filesystem.
+
+    Mirrors Spark's layout: ``<warehouse>/<table>`` for the default
+    database, ``<warehouse>/<db>.db/<table>`` otherwise (identifiers
+    lowercased, as the session catalog stores them).
+    """
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(warehouse)
+    if parsed.scheme not in ("", "file"):
+        return None  # remote warehouse: nothing to clean locally
+    base = Path(parsed.path if parsed.scheme == "file" else warehouse)
+    parts = [p.strip("`").lower() for p in table_name.split(".")]
+    if len(parts) == 1:
+        return base / parts[0]
+    db, tbl = parts[-2], parts[-1]
+    if db == "default":
+        return base / tbl
+    return base / f"{db}.db" / tbl
 
 
 def write_bucketed(
@@ -37,7 +63,23 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table."""
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Crash-retry-safe: a prior run that died between ``saveAsTable`` and
+    its cleanup leaves a warehouse directory with NO catalog entry (a new
+    JVM starts with an empty in-memory catalog). ``mode("overwrite")``
+    only overwrites tables the catalog knows about, so Spark would refuse
+    the orphaned location with LOCATION_ALREADY_EXISTS. Drop any stale
+    catalog entry AND remove the orphaned location before writing —
+    the same idempotency contract the Zarr shard writer keeps
+    (reference analog: idempotent store create,
+    ``compress/imaris_to_zarr.py:1781-1790``).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    loc = _managed_table_location(spark, table_name)
+    if loc is not None and loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

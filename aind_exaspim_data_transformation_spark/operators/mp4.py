@@ -204,6 +204,18 @@ def _table_u32(data: bytes, p: int, n: int) -> list[int]:
     return list(struct.unpack(f">{n}I", data[p : p + 4 * n]))
 
 
+def _need(p: int, nbytes: int, end: int, what: str) -> None:
+    """Declared entry counts are untrusted: bound every table read by its
+    box's body end so an oversized count raises Mp4Error (the parser's
+    error contract) instead of bare struct.error or a silent read into
+    adjacent boxes."""
+    if p + nbytes > end:
+        raise Mp4Error(
+            f"{what}: declared table overruns box body"
+            f" (needs {p + nbytes}, body ends at {end})"
+        )
+
+
 def demux_samples(data: bytes) -> list[dict]:
     """Expand every track's sample tables into per-sample rows.
 
@@ -253,17 +265,21 @@ def demux_samples(data: bytes) -> list[dict]:
         if stsz is None:
             raise Mp4Error(f"track {track_id} missing stsz")
         _v, _f, p = _fullbox(data, stsz[0])
+        _need(p, 8, stsz[1], f"track {track_id} stsz header")
         fixed_size, n_samples = struct.unpack(">II", data[p : p + 8])
         if fixed_size:
             sizes = [fixed_size] * n_samples
         else:
+            _need(p + 8, 4 * n_samples, stsz[1], f"track {track_id} stsz")
             sizes = _table_u32(data, p + 8, n_samples)
 
         stts = _find(data, sb, se, "stts")
         if stts is None:
             raise Mp4Error(f"track {track_id} missing stts")
         _v, _f, p = _fullbox(data, stts[0])
+        _need(p, 4, stts[1], f"track {track_id} stts header")
         (n_runs,) = struct.unpack(">I", data[p : p + 4])
+        _need(p + 4, 8 * n_runs, stts[1], f"track {track_id} stts")
         dts: list[int] = []
         t = 0
         for r in range(n_runs):
@@ -282,14 +298,18 @@ def demux_samples(data: bytes) -> list[dict]:
         co = _find(data, sb, se, "stco")
         if co is not None:
             _v, _f, p = _fullbox(data, co[0])
+            _need(p, 4, co[1], f"track {track_id} stco header")
             (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+            _need(p + 4, 4 * n_chunks, co[1], f"track {track_id} stco")
             chunk_offsets = _table_u32(data, p + 4, n_chunks)
         else:
             co = _find(data, sb, se, "co64")
             if co is None:
                 raise Mp4Error(f"track {track_id} missing stco/co64")
             _v, _f, p = _fullbox(data, co[0])
+            _need(p, 4, co[1], f"track {track_id} co64 header")
             (n_chunks,) = struct.unpack(">I", data[p : p + 4])
+            _need(p + 4, 8 * n_chunks, co[1], f"track {track_id} co64")
             chunk_offsets = list(
                 struct.unpack(f">{n_chunks}Q", data[p + 4 : p + 4 + 8 * n_chunks])
             )
@@ -298,11 +318,30 @@ def demux_samples(data: bytes) -> list[dict]:
         if stsc is None:
             raise Mp4Error(f"track {track_id} missing stsc")
         _v, _f, p = _fullbox(data, stsc[0])
+        _need(p, 4, stsc[1], f"track {track_id} stsc header")
         (n_entries,) = struct.unpack(">I", data[p : p + 4])
+        _need(p + 4, 12 * n_entries, stsc[1], f"track {track_id} stsc")
         runs = [
             struct.unpack(">III", data[p + 4 + 12 * r : p + 16 + 12 * r])
             for r in range(n_entries)
         ]
+        # first_chunk values are 1-based and must be strictly increasing:
+        # first_chunk=0 would hit Python negative indexing on
+        # chunk_offsets[c - 1] and silently reuse the LAST chunk's offset.
+        prev_first = 0
+        for first_chunk, _spc, _desc in runs:
+            if first_chunk < 1:
+                raise Mp4Error(
+                    f"track {track_id}: stsc first_chunk"
+                    f" {first_chunk} < 1"
+                )
+            if first_chunk <= prev_first:
+                raise Mp4Error(
+                    f"track {track_id}: stsc first_chunk values not"
+                    f" strictly increasing ({prev_first} ->"
+                    f" {first_chunk})"
+                )
+            prev_first = first_chunk
 
         # Walk chunks in order; each stsc run applies from its
         # first_chunk until the next run's first_chunk (exclusive).

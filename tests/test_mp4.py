@@ -194,3 +194,54 @@ def test_demux_missing_stbl_raises():
     data[idx : idx + 4] = b"free"
     with pytest.raises(Mp4Error, match="stco"):
         demux_samples(bytes(data))
+
+
+def test_demux_first_chunk_zero_raises():
+    """ADVICE r8: stsc first_chunk=0 used to hit Python negative indexing
+    (chunk_offsets[-1]) and silently emit the LAST chunk's offset."""
+    data = bytearray(encode_mp4_media(600, _media_tracks()))
+    idx = bytes(data).find(b"stsc")
+    # body: fullbox(4) + entry_count(4), then runs of (first_chunk, spc,
+    # desc) — zero the first run's first_chunk.
+    struct.pack_into(">I", data, idx + 4 + 4 + 4, 0)
+    with pytest.raises(Mp4Error, match="first_chunk"):
+        demux_samples(bytes(data))
+
+
+def test_demux_non_increasing_stsc_runs_raise():
+    data = bytearray(encode_mp4_media(600, _media_tracks()))
+    idx = bytes(data).find(b"stsc")
+    # Video track has 3 chunks -> stsc runs start at chunks 1 and 3.
+    # Rewrite the SECOND run's first_chunk to 1 (== first run's).
+    struct.pack_into(">I", data, idx + 4 + 4 + 4 + 12, 1)
+    with pytest.raises(Mp4Error, match="strictly increasing"):
+        demux_samples(bytes(data))
+
+
+@pytest.mark.parametrize(
+    "tag,count_off",
+    [
+        (b"stts", 4 + 4),   # fullbox + entry_count
+        (b"stsc", 4 + 4),
+        (b"stco", 4 + 4),
+    ],
+)
+def test_demux_oversized_table_count_raises_mp4error(tag, count_off):
+    """ADVICE r8: a declared entry count past the box body must raise
+    Mp4Error (not bare struct.error, not a silent read into the next
+    box)."""
+    data = bytearray(encode_mp4_media(600, _media_tracks()))
+    idx = bytes(data).find(tag)
+    struct.pack_into(">I", data, idx + count_off, 0x00FFFFFF)
+    with pytest.raises(Mp4Error, match="overruns box body"):
+        demux_samples(bytes(data))
+
+
+def test_demux_oversized_stsz_count_raises_mp4error():
+    data = bytearray(encode_mp4_media(600, _media_tracks()))
+    idx = bytes(data).find(b"stsz")
+    # body: fullbox(4) + sample_size(4) + sample_count(4): variable-size
+    # table on the video track, so the per-sample table is read.
+    struct.pack_into(">I", data, idx + 4 + 4 + 4, 0x00FFFFFF)
+    with pytest.raises(Mp4Error, match="overruns box body"):
+        demux_samples(bytes(data))

@@ -86,17 +86,27 @@ def run_side(repo: str, queries: list[str]) -> dict[str, list[float] | None]:
     )
 
 
+# git: specs resolve against THIS repo regardless of invocation cwd.
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def materialize(spec: str, scratch: str, tag: str) -> str:
     """Resolve a side spec to a repo path; git: specs get a worktree."""
     if not spec.startswith("git:"):
         return os.path.abspath(spec)
     commit = spec[len("git:"):]
     path = os.path.join(scratch, f"side_{tag}")
-    subprocess.run(
+    proc = subprocess.run(
         ["git", "worktree", "add", "--detach", path, commit],
-        check=True,
+        cwd=REPO,
         capture_output=True,
+        text=True,
     )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"git worktree add {commit!r} failed (rc={proc.returncode}):\n"
+            f"{proc.stderr.strip()}"
+        )
     return path
 
 
@@ -141,6 +151,7 @@ def main() -> None:
                 if path.startswith(scratch):
                     subprocess.run(
                         ["git", "worktree", "remove", "--force", path],
+                        cwd=REPO,
                         capture_output=True,
                     )
     summary = {}
