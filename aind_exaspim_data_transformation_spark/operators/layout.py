@@ -27,33 +27,78 @@ boundaries, broadcast into the expression), interleave bits JVM-side,
 from __future__ import annotations
 
 import shutil
-from pathlib import Path
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..zarrio.kvstore import is_s3, kv_delete_prefix
 
-def _managed_table_location(spark: SparkSession, table_name: str) -> Path | None:
-    """Local filesystem path where the managed table ``table_name`` would
-    live, or ``None`` when the warehouse is not on a local filesystem.
 
-    Mirrors Spark's layout: ``<warehouse>/<table>`` for the default
-    database, ``<warehouse>/<db>.db/<table>`` otherwise (identifiers
-    lowercased, as the session catalog stores them).
+def _managed_table_location(spark: SparkSession, table_name: str) -> str | None:
+    """Store URL where the managed table ``table_name`` lives (or would
+    live), or ``None`` when it cannot be determined.
+
+    Resolution order:
+
+    1. The catalog's own record — ``DESCRIBE TABLE EXTENDED`` when the
+       table exists. Always right, including custom-LOCATION databases.
+    2. The owning database's ``locationUri`` + ``/<table>`` — Spark's
+       managed layout. Right whenever the database exists (covers
+       custom-LOCATION databases the reconstruction below would miss).
+    3. Reconstruction from ``spark.sql.warehouse.dir``:
+       ``<warehouse>/<table>`` for the default database,
+       ``<warehouse>/<db>.db/<table>`` otherwise (identifiers lowercased,
+       as the session catalog stores them). This heuristic is only valid
+       for default-location databases — but it is also only *reached*
+       when neither the table nor its database exists in the catalog, in
+       which case the database cannot have a custom location.
     """
+    parts = [p.strip("`") for p in table_name.split(".")]
+    tbl = parts[-1].lower()
+    db = parts[-2].lower() if len(parts) > 1 else None
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+        for r in rows:
+            if r["col_name"] == "Location":
+                return r["data_type"]
+    except Exception:
+        pass  # table not in catalog: fall through to the database layout
+    try:
+        db_loc = spark.catalog.getDatabase(db or "default").locationUri
+        return db_loc.rstrip("/") + "/" + tbl
+    except Exception:
+        pass  # database not in catalog either
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    parsed = urlparse(warehouse)
-    if parsed.scheme not in ("", "file"):
-        return None  # remote warehouse: nothing to clean locally
-    base = Path(parsed.path if parsed.scheme == "file" else warehouse)
-    parts = [p.strip("`").lower() for p in table_name.split(".")]
-    if len(parts) == 1:
-        return base / parts[0]
-    db, tbl = parts[-2], parts[-1]
-    if db == "default":
-        return base / tbl
-    return base / f"{db}.db" / tbl
+    base = warehouse.rstrip("/")
+    if db is None or db == "default":
+        return f"{base}/{tbl}"
+    return f"{base}/{db}.db/{tbl}"
+
+
+def _remove_location(spark: SparkSession, location: str) -> None:
+    """Delete a table location, dispatched by scheme: ``s3://`` and the
+    ``s3+local://`` test fake go through the kvstore layer's idempotent
+    prefix delete; local paths (``file:`` or bare) through ``rmtree``;
+    any other Hadoop-supported scheme (hdfs, s3a, abfs, ...) through the
+    JVM FileSystem API — the same connector Spark's own managed-table
+    drops use, so whatever warehouse Spark can write, this can clean."""
+    if is_s3(location):
+        kv_delete_prefix(location)
+        return
+    parsed = urlparse(location)
+    if parsed.scheme in ("", "file"):
+        # urlparse keeps percent-encoding; a warehouse dir containing
+        # spaces (file:/tmp/my%20wh) must be decoded or the cleanup
+        # silently misses the real orphan.
+        path = unquote(parsed.path) if parsed.scheme == "file" else location
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def write_bucketed(
@@ -73,13 +118,16 @@ def write_bucketed(
     catalog entry AND remove the orphaned location before writing —
     the same idempotency contract the Zarr shard writer keeps
     (reference analog: idempotent store create,
-    ``compress/imaris_to_zarr.py:1781-1790``).
+    ``compress/imaris_to_zarr.py:1781-1790``). The location is resolved
+    from the catalog when it can be (so custom-LOCATION databases clean
+    the right directory) and the delete is scheme-dispatched, so remote
+    warehouses (S3/HDFS) get the same retry guarantee as local ones.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     loc = _managed_table_location(spark, table_name)
-    if loc is not None and loc.exists():
-        shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if loc is not None:
+        _remove_location(spark, loc)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

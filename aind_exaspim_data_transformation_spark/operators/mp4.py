@@ -268,6 +268,17 @@ def demux_samples(data: bytes) -> list[dict]:
         _need(p, 8, stsz[1], f"track {track_id} stsz header")
         fixed_size, n_samples = struct.unpack(">II", data[p : p + 8])
         if fixed_size:
+            # n_samples is untrusted 32-bit: the variable-size path is
+            # bounded by _need (4*n_samples must fit the box body) but
+            # this path allocates [fixed_size]*n_samples directly — cap
+            # it at len(data): every sample occupies at least one mdat
+            # byte, so a plausible table can't declare more samples than
+            # the file holds.
+            if n_samples > len(data):
+                raise Mp4Error(
+                    f"track {track_id} stsz: declared {n_samples} samples"
+                    f" exceeds file size {len(data)}"
+                )
             sizes = [fixed_size] * n_samples
         else:
             _need(p + 8, 4 * n_samples, stsz[1], f"track {track_id} stsz")
@@ -286,6 +297,15 @@ def demux_samples(data: bytes) -> list[dict]:
             cnt, delta = struct.unpack(
                 ">II", data[p + 4 + 8 * r : p + 12 + 8 * r]
             )
+            # Per-run counts are untrusted too: one 8-byte run declaring
+            # cnt=0xFFFFFFFF would expand 4 billion entries before the
+            # post-loop consistency check — fail as soon as the running
+            # total passes stsz's sample count instead.
+            if len(dts) + cnt > n_samples:
+                raise Mp4Error(
+                    f"track {track_id}: stts runs cover more than the"
+                    f" {n_samples} samples stsz declares"
+                )
             for _ in range(cnt):
                 dts.append(t)
                 t += delta

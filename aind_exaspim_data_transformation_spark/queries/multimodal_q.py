@@ -1077,3 +1077,193 @@ def q_multimodal_audio_features(
         "peak",
         "zero_crossings",
     )
+
+
+# --------------------------------------------------------------------------
+# binaryFile SCAN end-to-end (round-9 verdict, Next #2): the one query
+# shape every 100 TB media pipeline starts with — a DIRECTORY OF REAL
+# FILES (not in-UDF synthesized payloads) scanned with Spark's
+# ``binaryFile`` source (recursiveFileLookup + pathGlobFilter — the S1
+# mapping: the reference globs a tile directory the same way,
+# imaris_job.py:48-86), bytes routed through the from-spec codecs, and
+# only fixed-width decode stats leaving the scan. The fixture writes 60
+# real .png/.jpg/.mp4 files (+ decoy .txt/.dat files the glob must
+# exclude) whose contents are pure functions of doc_id, so the DuckDB
+# oracle recomputes every stat closed-form from the documents table —
+# keyed by the doc_id parsed back out of each filename. Map-only:
+# payload bytes never shuffle (plan pinned in
+# tests/test_binaryfile_scan.py).
+# --------------------------------------------------------------------------
+N_BINFILES = 60  # doc_id < 60 exists at every sf (ids are 0..N-1)
+
+
+def _binfile_png_image(d: int) -> np.ndarray:
+    rr = np.arange(IMG_H, dtype=np.int64)[:, None]
+    cc = np.arange(IMG_W, dtype=np.int64)[None, :]
+    return np.stack(
+        [
+            (d * 7 + rr * 3 + cc * 5) % 256,
+            (d * 11 + rr * 2 + cc * 9 + 1) % 256,
+            (d * 13 + rr * 4 + cc * 7 + 2) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _binfile_jpeg_plane(d: int) -> np.ndarray:
+    bi = np.arange(JPEG_BLOCKS, dtype=np.int64)[:, None]
+    bj = np.arange(JPEG_BLOCKS, dtype=np.int64)[None, :]
+    vals = 2 * ((d * 7 + bi * 13 + bj * 29) % 128)  # even => exact round trip
+    return np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def _binfile_mp4_track(d: int) -> dict:
+    n = 5 + d % 7
+    return {
+        "track_id": 1,
+        "handler": "vide",
+        "codec": "avc1",
+        "width": 320,
+        "height": 240,
+        "media_timescale": 30000,
+        "sample_sizes": [40 + (j * 9) % 30 for j in range(n)],
+        "sample_deltas": [1001] * n,
+        "samples_per_chunk": 4,
+        "fill": lambda i: (d * 13 + i) % 256,  # i is 1-based
+    }
+
+
+def binaryfile_fixture_dir() -> str:
+    """Write the deterministic 60-file media tree (idempotent, atomic):
+
+    ``<tmp>/spark_graft_binfixture_v1/{png,jpg,mp4}/doc_<id>.<ext>``
+    plus two decoy files the pathGlobFilter must exclude. Contents are
+    pure functions of doc_id, so concurrent writers race benignly
+    (same bytes, atomic rename) and re-runs are no-ops once the
+    completion marker exists.
+    """
+    import os
+    import tempfile
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.media_codecs import encode_png
+    from ..operators.mp4 import encode_mp4_media
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_binfixture_v1")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+
+    def put(rel: str, blob: bytes) -> None:
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+
+    for d in range(N_BINFILES):
+        if d % 3 == 0:
+            put(
+                f"png/doc_{d:05d}.png",
+                encode_png(_binfile_png_image(d), filter_cycle=5),
+            )
+        elif d % 3 == 1:
+            put(
+                f"jpg/doc_{d:05d}.jpg",
+                encode_jpeg(_binfile_jpeg_plane(d), quality=50),
+            )
+        else:
+            put(
+                f"mp4/doc_{d:05d}.mp4",
+                encode_mp4_media(600, [_binfile_mp4_track(d)]),
+            )
+    put("readme.txt", b"decoy: pathGlobFilter must exclude me")
+    put("png/notes.dat", b"decoy inside a media subdir")
+    put(".complete", b"")
+    return root
+
+
+_BINARYFILE_ORACLE = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {N_BINFILES}),
+png AS (
+  SELECT doc_id, 'png' AS media_format,
+    CAST(SUM(((doc_id * 7 + r * 3 + c * 5) % 256)
+           + ((doc_id * 11 + r * 2 + c * 9 + 1) % 256)
+           + ((doc_id * 13 + r * 4 + c * 7 + 2) % 256)) AS BIGINT)
+      AS stat_sum,
+    CAST({IMG_H * IMG_W} AS BIGINT) AS stat_n
+  FROM ids, range(0, {IMG_H}) t1(r), range(0, {IMG_W}) t2(c)
+  WHERE doc_id % 3 = 0 GROUP BY doc_id),
+jpg AS (
+  SELECT doc_id, 'jpeg' AS media_format,
+    CAST(SUM(2 * ((doc_id * 7 + bi.i * 13 + bj.i * 29) % 128)) * 64
+      AS BIGINT) AS stat_sum,
+    CAST({(8 * JPEG_BLOCKS) ** 2} AS BIGINT) AS stat_n
+  FROM ids, range(0, {JPEG_BLOCKS}) bi(i), range(0, {JPEG_BLOCKS}) bj(i)
+  WHERE doc_id % 3 = 1 GROUP BY doc_id),
+mp4 AS (
+  SELECT doc_id, 'mp4' AS media_format,
+    CAST(SUM((40 + ((i - 1) * 9) % 30) * ((doc_id * 13 + i) % 256))
+      AS BIGINT) AS stat_sum,
+    CAST(5 + doc_id % 7 AS BIGINT) AS stat_n
+  FROM ids, range(1, 12) t(i)
+  WHERE doc_id % 3 = 2 AND i <= 5 + doc_id % 7 GROUP BY doc_id)
+SELECT * FROM png UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM mp4
+"""
+
+
+@query("q_multimodal_binaryfile_scan", oracle=_BINARYFILE_ORACLE)
+def q_multimodal_binaryfile_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.jpeg import decode_jpeg
+    from ..operators.media_codecs import decode_png
+    from ..operators.mp4 import demux_samples
+
+    root = binaryfile_fixture_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{png,jpg,mp4}")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                d = int(name[4:9])
+                data = bytes(content)
+                if name.endswith(".png"):
+                    img = decode_png(data).astype(np.int64)
+                    row = (d, "png", int(img.sum()), img.shape[0] * img.shape[1])
+                elif name.endswith(".jpg"):
+                    img = decode_jpeg(data).astype(np.int64)
+                    row = (
+                        d,
+                        "jpeg",
+                        int(img[:, :, 0].sum()),
+                        img.shape[0] * img.shape[1],
+                    )
+                else:
+                    samples = demux_samples(data)
+                    s = 0
+                    for r in samples:
+                        s += int(
+                            np.frombuffer(
+                                data[r["offset"] : r["offset"] + r["size"]],
+                                dtype=np.uint8,
+                            ).astype(np.int64).sum()
+                        )
+                    row = (d, "mp4", s, len(samples))
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_format", "stat_sum", "stat_n"]
+            )
+
+    return files.mapInPandas(
+        run, "doc_id long, media_format string, stat_sum long, stat_n long"
+    )

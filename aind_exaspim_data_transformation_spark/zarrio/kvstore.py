@@ -108,6 +108,33 @@ class FilesystemS3Client:
     def _path(self, bucket: str, key: str) -> str:
         return os.path.join(self.root, bucket, *key.split("/"))
 
+    def list_objects_v2(self, Bucket: str, Prefix: str = "", **kw):
+        base = os.path.join(self.root, Bucket)
+        keys = []
+        for dirpath, _dirs, files in os.walk(base):
+            for name in files:
+                full = os.path.join(dirpath, name)
+                key = os.path.relpath(full, base).replace(os.sep, "/")
+                if key.startswith(Prefix):
+                    keys.append(key)
+        keys.sort()
+        start = kw.get("ContinuationToken")
+        if start:
+            keys = [k for k in keys if k > start]
+        page, rest = keys[:1000], keys[1000:]
+        out = {"Contents": [{"Key": k} for k in page], "KeyCount": len(page)}
+        if rest:
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = page[-1]
+        return out
+
+    def delete_object(self, Bucket: str, Key: str, **_):
+        try:
+            os.remove(self._path(Bucket, Key))
+        except FileNotFoundError:
+            pass  # S3 deletes are idempotent: deleting a missing key is OK
+        return {}
+
     def put_object(self, Bucket: str, Key: str, Body: bytes, **_):
         path = self._path(Bucket, Key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -269,6 +296,69 @@ def kv_get(path: str) -> bytes | None:
             return f.read()
     except FileNotFoundError:
         return None
+
+
+def kv_list_prefix(path: str) -> list[str]:
+    """All object keys (relative to the store URL) under ``path``.
+
+    S3 has no directories — a "directory" is the set of keys sharing a
+    prefix — so the prefix is normalized to end with '/' to avoid
+    matching sibling keys (``table1`` must not match ``table10/...``).
+    Local filesystems walk the directory. Used by the orphan cleanup in
+    ``operators/layout.py``; bounded callers only (a table location,
+    not a whole bucket).
+    """
+    scheme, bucket_or_root, key = parse_store_url(path)
+    if scheme:
+        bucket, k = (
+            (bucket_or_root, key) if scheme == "s3" else _fake_bucket(key)
+        )
+        client = _client(scheme, bucket_or_root)
+        prefix = k.rstrip("/") + "/"
+        keys: list[str] = []
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = _with_retries(lambda: client.list_objects_v2(**kw))
+            keys += [o["Key"] for o in resp.get("Contents", [])]
+            if not resp.get("IsTruncated"):
+                return keys
+            token = resp.get("NextContinuationToken")
+    out = []
+    for dirpath, _dirs, files in os.walk(path):
+        out += [os.path.join(dirpath, f) for f in files]
+    return sorted(out)
+
+
+def kv_delete_prefix(path: str) -> int:
+    """Delete every object under ``path`` (a directory locally, a key
+    prefix on S3); returns the number of objects removed. Idempotent:
+    deleting an absent prefix is a no-op returning 0 — exactly the
+    crash-retry contract the bucketed-table writer needs for orphaned
+    managed-table locations on remote warehouses."""
+    scheme, bucket_or_root, key = parse_store_url(path)
+    if scheme:
+        keys = kv_list_prefix(path)
+        if not keys:
+            return 0
+        bucket, _k = (
+            (bucket_or_root, key) if scheme == "s3" else _fake_bucket(key)
+        )
+        client = _client(scheme, bucket_or_root)
+        for k in keys:
+            _with_retries(
+                lambda k=k: client.delete_object(Bucket=bucket, Key=k)
+            )
+        return len(keys)
+    if not os.path.exists(path):
+        return 0
+    n = len(kv_list_prefix(path))
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return n
 
 
 def _fake_bucket(key: str) -> tuple[str, str]:

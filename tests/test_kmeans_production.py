@@ -85,6 +85,50 @@ def test_assignment_is_map_only(spark, vecs):
     assert "Window" not in plan, plan
 
 
+def test_pandas_fallback_matches_literal_assignments(spark, vecs):
+    """Round-9 advice (What's wrong #4): codebooks past
+    LITERAL_CODEBOOK_MAX_VALUES route through the Pandas-UDF
+    broadcast-closure path. Same assignments as the literal plan on the
+    embeddings table (deterministic inputs, no exact inter-centroid
+    ties), and still map-only."""
+    codebook = seed_first_k(vecs, _KM_K)
+    lit = {
+        r["vec_id"]: r["k"]
+        for r in assign_nearest(vecs, codebook).select("vec_id", "k").collect()
+    }
+    fallback_df = assign_nearest(
+        vecs, codebook, max_literal_values=0
+    ).select("vec_id", "k")
+    plan = fallback_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan  # really took the UDF path
+    assert "Exchange" not in plan and "Window" not in plan, plan
+    pd_assign = {r["vec_id"]: r["k"] for r in fallback_df.collect()}
+    assert pd_assign == lit
+
+
+def test_large_codebook_routes_to_pandas_and_plan_stays_small(spark, vecs):
+    """K=512 x D=64 = 32768 values > the 16384 default: the literal form
+    would build one plan node per double (the compile-cost failure the
+    bound exists for); the fallback's plan must stay O(1) in K*D."""
+    import numpy as np
+
+    from aind_exaspim_data_transformation_spark.operators.kmeans import (
+        LITERAL_CODEBOOK_MAX_VALUES,
+    )
+
+    # embeddings are D=64: K=512 centroids -> 32768 codebook values
+    rng = np.random.default_rng(7)
+    big = [(k, rng.normal(size=64).tolist()) for k in range(512)]
+    assert sum(len(c) for _, c in big) > LITERAL_CODEBOOK_MAX_VALUES
+    df = assign_nearest(vecs, big)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "ArrowEvalPython" in str(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    # the 32768 doubles must NOT be embedded in the plan text
+    assert len(plan) < 100_000, f"plan grew with the codebook: {len(plan)}"
+
+
 def test_update_centroids_drops_empty_clusters(spark):
     df = spark.createDataFrame(
         [(0, [0.0, 0.0]), (0, [2.0, 2.0]), (3, [5.0, 7.0])],

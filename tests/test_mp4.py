@@ -245,3 +245,29 @@ def test_demux_oversized_stsz_count_raises_mp4error():
     struct.pack_into(">I", data, idx + 4 + 4 + 4, 0x00FFFFFF)
     with pytest.raises(Mp4Error, match="overruns box body"):
         demux_samples(bytes(data))
+
+
+def test_demux_fixed_size_stsz_huge_count_raises_before_alloc():
+    """ADVICE r9: the FIXED-size stsz path built [size]*n_samples with an
+    untrusted 32-bit count — n_samples=0xFFFFFFFF would allocate a
+    ~4-billion-element list before any cross-table check. Must raise
+    Mp4Error immediately instead."""
+    data = bytearray(encode_mp4_media(600, _media_tracks()))
+    # Audio track (second stsz) uses the fixed-size form (constant 64).
+    idx = bytes(data).find(b"stsz", bytes(data).find(b"stsz") + 4)
+    struct.pack_into(">I", data, idx + 4 + 4 + 4, 0xFFFFFFFF)
+    with pytest.raises(Mp4Error, match="exceeds file size"):
+        demux_samples(bytes(data))
+
+
+def test_demux_huge_stts_run_count_raises_before_expand():
+    """ADVICE r9: one 8-byte stts run declaring cnt=0xFFFFFFFF used to
+    expand 4 billion dts entries before the post-loop consistency check.
+    Must raise as soon as the running total passes stsz's count."""
+    data = bytearray(encode_mp4_media(600, _media_tracks()))
+    idx = bytes(data).find(b"stts")
+    # body: fullbox(4) + entry_count(4), then (count, delta) runs —
+    # rewrite the first run's count to 0xFFFFFFFF.
+    struct.pack_into(">I", data, idx + 4 + 4 + 4, 0xFFFFFFFF)
+    with pytest.raises(Mp4Error, match="stts runs cover more"):
+        demux_samples(bytes(data))
