@@ -70,10 +70,55 @@ HEADLINE = [
 REPS = 5
 
 
+def _env_snapshot() -> dict:
+    """Machine-state suspects for round-over-round drift (round-9
+    verdict, Next #1): load, free memory, page cache, and tmp-disk free
+    space — recorded so a drifted BENCH can be checked against the
+    environment it ran in, not just its predecessor's numbers."""
+    snap: dict = {}
+    try:
+        snap["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mi = dict(
+                (line.split(":")[0], int(line.split()[1]))
+                for line in f
+                if ":" in line and line.split()[1].isdigit()
+            )
+        snap["mem_available_gb"] = round(mi.get("MemAvailable", 0) / 2**20, 1)
+        snap["page_cache_gb"] = round(mi.get("Cached", 0) / 2**20, 1)
+    except OSError:
+        pass
+    try:
+        st = os.statvfs(tempfile.gettempdir())
+        snap["tmp_free_gb"] = round(st.f_bavail * st.f_frsize / 2**30, 1)
+    except OSError:
+        pass
+    # Host-speed probe: this VM's CPU has a measured ~4x slower cold
+    # power state (round-10 diagnosis: identical matmuls ran 0.272 s ->
+    # 0.074 s across consecutive calls), and rounds run hours apart.
+    # The probe both PULLS the host out of the slow state before any
+    # timed section and RECORDS the steady-state speed, so a drifted
+    # round total can be checked against the host speed it ran at.
+    import numpy as np
+
+    x = np.random.rand(1500, 1500)
+    runs = []
+    for _ in range(8):
+        t0 = time.monotonic()
+        x @ x
+        runs.append(time.monotonic() - t0)
+    snap["cpu_probe_ms"] = round(min(runs) * 1000, 1)
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    env_before = _env_snapshot()
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -99,10 +144,12 @@ def main() -> None:
             samples[name].append(time.monotonic() - t0)
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     iqr: dict[str, float] = {}
     for name, runs in samples.items():
         timings[name] = round(statistics.median(runs), 3)
+        mins[name] = round(min(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         q1, _, q3 = statistics.quantiles(runs, n=4)
         iqr[name] = round(q3 - q1, 3)
@@ -158,6 +205,7 @@ def main() -> None:
             conv_runs.append(time.monotonic() - t0)
     dt = statistics.median(conv_runs)
     timings["tensor_to_zarr_4GB"] = round(dt, 3)
+    mins["tensor_to_zarr_4GB"] = round(min(conv_runs), 3)
     spread["tensor_to_zarr_4GB"] = [
         round(min(conv_runs), 3),
         round(max(conv_runs), 3),
@@ -190,6 +238,7 @@ def main() -> None:
             pyr_runs.append(time.monotonic() - t0)
     pdt = statistics.median(pyr_runs)
     timings["pyramid_compute_2GB"] = round(pdt, 3)
+    mins["pyramid_compute_2GB"] = round(min(pyr_runs), 3)
     spread["pyramid_compute_2GB"] = [
         round(min(pyr_runs), 3),
         round(max(pyr_runs), 3),
@@ -206,8 +255,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # min-of-reps: the JVM/interference-robust estimator.
+                # Round-9 diagnosis (AB_r09_control.json): per-JVM totals
+                # on IDENTICAL code spread +/-9% and the variance is
+                # correlated across queries within a JVM, so a single
+                # unlucky bench JVM shifts every median one-sidedly —
+                # compare value_min across rounds before believing a
+                # median drift; cross-commit claims need tools/ab_bench.
+                "value_min": round(sum(mins.values()), 3),
+                "queries_min": mins,
                 "iqr": iqr,
                 "spread": spread,
+                "env": env_before,
                 "sf": sf,
                 "reps": REPS,
                 "protocol": "interleaved",

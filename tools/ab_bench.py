@@ -160,6 +160,13 @@ def main() -> None:
         entry = {
             "A_median": round(statistics.median(a_runs), 3) if a_runs else None,
             "B_median": round(statistics.median(b_runs), 3) if b_runs else None,
+            # MIN across per-JVM medians is the drift-robust estimator:
+            # interference and JVM-lottery effects only ADD time, so the
+            # min converges to the noise-free cost while the median
+            # carries the (correlated, one-sided) JVM variance — round-9
+            # diagnosis: per-JVM totals on IDENTICAL code spread +/-9%.
+            "A_min": round(min(a_runs), 3) if a_runs else None,
+            "B_min": round(min(b_runs), 3) if b_runs else None,
             "A_all": [round(x, 3) for x in a_runs],
             "B_all": [round(x, 3) for x in b_runs],
         }
@@ -167,11 +174,26 @@ def main() -> None:
             entry["B_over_A"] = round(
                 statistics.median(b_runs) / statistics.median(a_runs), 3
             )
+            entry["B_over_A_min"] = round(min(b_runs) / min(a_runs), 3)
         summary[q] = entry
+    both = [q for q in queries if raw["A"][q] and raw["B"][q]]
+    totals = {
+        "A_median_sum": round(
+            sum(statistics.median(raw["A"][q]) for q in both), 3
+        ),
+        "B_median_sum": round(
+            sum(statistics.median(raw["B"][q]) for q in both), 3
+        ),
+        "A_min_sum": round(sum(min(raw["A"][q]) for q in both), 3),
+        "B_min_sum": round(sum(min(raw["B"][q]) for q in both), 3),
+    }
+    totals["B_over_A_min_total"] = round(
+        totals["B_min_sum"] / totals["A_min_sum"], 4
+    )
     print(
         json.dumps(
             {"repoA": spec_a, "repoB": spec_b, "trials": trials,
-             "per_query": summary}
+             "totals": totals, "per_query": summary}
         )
     )
 
