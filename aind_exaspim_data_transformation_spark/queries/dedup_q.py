@@ -172,16 +172,23 @@ def _lsh_pairs_sql(max_bucket: int | None = None) -> str:
     kept_cte, side = "", "bands"
     if max_bucket is not None:
         kept_cte = f""",
-kept AS (
+kept AS MATERIALIZED (
   SELECT doc_id, band, band_key FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bsz
     FROM bands)
   WHERE bsz <= {max_bucket})"""
         side = "kept"
+    # Every CTE here is multi-referenced (sigs: N_BANDS band selects +
+    # the two estimator joins; bands/kept: both sides of the self-join)
+    # and DuckDB 1.0 INLINES CTEs by default — without MATERIALIZED the
+    # signature aggregation (300M doc x shingle rows at sf30) is
+    # recomputed per reference and the plan spills past the box's disk
+    # (round-10 sf30 sweep incident; same CLAUDE.md rule as the CC
+    # round chains).
     return f"""
-WITH sigs AS ({sig_cte}),
-bands AS ({band_selects}){kept_cte},
-cand AS (
+WITH sigs AS MATERIALIZED ({sig_cte}),
+bands AS MATERIALIZED ({band_selects}){kept_cte},
+cand AS MATERIALIZED (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM {side} x JOIN {side} y
     ON x.band = y.band AND x.band_key = y.band_key
@@ -545,22 +552,23 @@ NGRAM_MAX_DF = 20  # posting lists longer than this are stopword shingles
 @query(
     "q_ngram_jaccard_pairs",
     oracle=f"""
-WITH shingles0 AS (
+WITH shingles0 AS MATERIALIZED (
   SELECT DISTINCT doc_id, lang, source,
     unnest(list_transform(
       range(1, len(string_split(text, ' '))),
       i -> concat(string_split(text, ' ')[i], ' ',
                   string_split(text, ' ')[i + 1]))) AS shingle
   FROM documents),
-df AS (
+df AS MATERIALIZED (
   SELECT shingle, lang, source, COUNT(*) AS df
   FROM shingles0 GROUP BY shingle, lang, source),
-shingles AS (
+shingles AS MATERIALIZED (
   SELECT s.* FROM shingles0 s
   JOIN df ON s.shingle = df.shingle AND s.lang = df.lang
     AND s.source = df.source
   WHERE df.df <= {NGRAM_MAX_DF}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
   FROM shingles a

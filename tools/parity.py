@@ -62,14 +62,21 @@ def compare(
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    oracle_pdf = con.execute(oracle_sql).df()
+    try:
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        oracle_pdf = con.execute(oracle_sql).df()
+    finally:
+        # Close even when the oracle dies (e.g. out of spill disk at
+        # sf30): the raised traceback otherwise keeps `con` alive and
+        # its tens-of-GB temp files pinned, cascading no-space failures
+        # into every later query of a sweep (round-10 incident).
+        con.close()
     if spark_pdf is None:
         spark_pdf = spark_df.toPandas()
 

@@ -90,6 +90,12 @@ def main() -> int:
     names = sys.argv[2:] or SHUFFLE_HEAVY
     check_oracle = os.environ.get("SWEEP_ORACLE", "1") != "0"
     oracle_all = os.environ.get("SWEEP_ORACLE_ALL", "0") == "1"
+    # local[32] shares ONE heap across all 32 executor threads, so the
+    # 8g session default is 0.25 GB/core — an order of magnitude below
+    # any production executor (2-8 GB/core). At sf30 the uncapped-LSH
+    # contrast row OOMs that heap; give the sweep JVM 1.5 GB/core
+    # unless the caller already chose a size.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(
         "scale-sweep",
         cpus=int(os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "32")),
@@ -99,6 +105,22 @@ def main() -> int:
         extra_conf={"spark.driver.maxResultSize": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up + environment snapshot (round-10 protocol fix): the first
+    # timed query otherwise absorbs Python-worker spin-up, Arrow
+    # serializer init, AND the host's slow CPU power state (bench.py's
+    # cpu probe both measures and clears it) — q01 measured 337 s cold
+    # vs ~8 s warm at sf30. One small scan + one pandas-UDF round trip
+    # pays those costs outside the timed loop.
+    from bench import _env_snapshot  # repo-root module, on sys.path
+
+    env = _env_snapshot()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    QUERIES["q06_forecast_revenue"](spark, sf_dir).collect()
+    spark.range(32, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()  # spin up one Python worker per core
+    print(f"warmup done; env={json.dumps(env)}", flush=True)
 
     rows = {}
     failed = []
@@ -136,7 +158,7 @@ def main() -> int:
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     if failed:
         print("failed:", failed)
-    print(json.dumps({"sf_dir": sf_dir, "queries": rows}))
+    print(json.dumps({"sf_dir": sf_dir, "queries": rows, "env": env}))
     return 1 if failed else 0
 
 

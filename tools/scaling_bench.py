@@ -5,9 +5,13 @@ Default mode: core-count sweep (the engine's analog of the reference's
 in the reference).
 
 ``--sizes`` mode: data-size / codec / transpose sweep at local[32] —
-4 -> 17 -> 34 GB synthetic sources, gzip-1 vs no codec, with and
-without the inner transpose codec — showing throughput holds as the
-working set grows far past any single run's warm state.
+4 -> 17 -> 34 -> 69 GB synthetic sources through the production zstd-3
+fused cascade (plus gzip-1 / no-codec / transpose contrast rows) —
+showing throughput holds as the working set grows far past any single
+run's warm state. Each row also records the run's peak RSS summed over
+the fresh JVM + pyspark daemon workers (/proc VmHWM at end of run;
+per-process peaks may not be simultaneous, so the sum is an upper
+bound).
 
 ``--ims`` mode: SOURCE-decode sweep at local[32] — a >=1 GB .ims in
 three layouts (contiguous; chunked+gzip, the production Imaris layout
@@ -40,6 +44,7 @@ def run_one(
     cpus: int,
     shape: str,
     codec: str = "gzip",
+    codec_level: int = 1,
     transpose: str | None = None,
     label: dict | None = None,
 ) -> dict:
@@ -52,6 +57,37 @@ sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!
 from aind_exaspim_data_transformation_spark.session import get_spark
 from aind_exaspim_data_transformation_spark.config import ConvertJobSettings
 from aind_exaspim_data_transformation_spark.zarrio.pipeline import convert_to_zarr
+
+def peak_rss_gb():
+    # Sum VmHWM over this process and every live descendant (the py4j
+    # JVM and the reused pyspark daemon workers). Peaks need not be
+    # simultaneous -> upper bound, which is the honest direction for a
+    # "does it fit in executor memory" claim.
+    me = os.getpid()
+    children = dict()  # ppid -> [pid]
+    for d in os.listdir('/proc'):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f'/proc/{{d}}/stat') as f:
+                ppid = int(f.read().split(') ')[-1].split()[1])
+            children.setdefault(ppid, []).append(int(d))
+        except OSError:
+            pass
+    total, stack = 0, [me]
+    while stack:
+        pid = stack.pop()
+        stack.extend(children.get(pid, []))
+        try:
+            with open(f'/proc/{{pid}}/status') as f:
+                for line in f:
+                    if line.startswith('VmHWM:'):
+                        total += int(line.split()[1])  # kB
+                        break
+        except OSError:
+            pass
+    return round(total / 1e6, 2)
+
 spark = get_spark('scaling', cpus={cpus})
 spark.sparkContext.setLogLevel('ERROR')
 with tempfile.TemporaryDirectory() as tmp:
@@ -65,14 +101,14 @@ with tempfile.TemporaryDirectory() as tmp:
         input_source='synth://{shape},1',
         output_location=os.path.join(tmp, 'b.zarr'),
         chunk_shape=(64,64,64), shard_shape=(128,128,128),
-        translate_pyramid=True, codec={codec!r}, codec_level=1,
+        translate_pyramid=True, codec={codec!r}, codec_level={codec_level},
         transpose_order={transpose!r}))
     dt = time.monotonic() - t0
     br = r['stages'][0]['bytes_read']
     bw = r['stages'][0].get('bytes_written', 0)
     print('RESULT ' + json.dumps(dict(cpus={cpus}, seconds=round(dt,2),
         gb=round(br/1e9,3), gbps=round(br/1e9/dt,4),
-        out_gb=round(bw/1e9,3))))
+        out_gb=round(bw/1e9,3), peak_rss_gb=peak_rss_gb())))
 """
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True
@@ -176,20 +212,29 @@ def main() -> None:
             "4GB": "2048,1024,1024",
             "17GB": "2048,2048,2048",
             "34GB": "4096,2048,2048",
+            "69GB": "4096,4096,2048",
         }
+        # zstd-3 is the production default codec (ConvertJobSettings /
+        # reference compressor parity) — the round-9 verdict asked for
+        # the >=34 GB rows re-run under it; gzip-1/none/transpose kept
+        # as contrast rows.
         configs = [
-            ("4GB", "gzip", None),
-            ("17GB", "gzip", None),
-            ("17GB", "none", None),
-            ("17GB", "gzip", "F"),
-            ("34GB", "gzip", None),
+            ("4GB", "zstd", 3, None),
+            ("17GB", "zstd", 3, None),
+            ("17GB", "gzip", 1, None),
+            ("17GB", "none", 1, None),
+            ("17GB", "zstd", 3, "F"),
+            ("34GB", "zstd", 3, None),
+            ("69GB", "zstd", 3, None),
         ]
         results = [
             run_one(
-                32, shapes[size], codec=codec, transpose=tr,
-                label={"size": size, "codec": codec, "transpose": tr},
+                32, shapes[size], codec=codec, codec_level=lvl,
+                transpose=tr,
+                label={"size": size, "codec": f"{codec}-{lvl}",
+                       "transpose": tr},
             )
-            for size, codec, tr in configs
+            for size, codec, lvl, tr in configs
         ]
         print(json.dumps({
             "workload": "synth uint16 -> zarr v3, size/codec/transpose sweep",
