@@ -534,8 +534,8 @@ _PQ_SUB_D2 = (
 ).format(d=_PQ_D, a="{a}", b="{b}")
 
 _PQ_ORACLE = f"""
-WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
-cents AS (
+WITH ms AS MATERIALIZED (SELECT unnest(range(0, {_PQ_M})) AS m),
+cents AS MATERIALIZED (
   SELECT e.vec_id AS k, ms.m,
     list_transform(range(1, {_PQ_D} + 1),
       i -> CAST(embedding[ms.m * {_PQ_D} + i] AS DOUBLE)) AS cvec
@@ -785,11 +785,11 @@ def _km_cte_chain() -> tuple[str, str]:
     its geometric clusters as the coarse quantizer."""
     parts = [
         f"""
-vecs AS (
+vecs AS MATERIALIZED (
   SELECT vec_id,
     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
-dims AS (SELECT unnest(range(1, {_KM_DIM} + 1)) AS dim),
+dims AS MATERIALIZED (SELECT unnest(range(1, {_KM_DIM} + 1)) AS dim),
 c0 AS (SELECT vec_id AS k, v AS c FROM vecs WHERE vec_id < {_KM_K})"""
     ]
     prev = "c0"
