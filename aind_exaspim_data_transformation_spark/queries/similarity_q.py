@@ -546,13 +546,24 @@ dbsubs AS (
     list_transform(range(1, {_PQ_D} + 1),
       i -> CAST(embedding[ms.m * {_PQ_D} + i] AS DOUBLE)) AS svec
   FROM embeddings e CROSS JOIN ms),
+centlists AS MATERIALIZED (
+  SELECT m, list(struct_pack(k := k, cvec := cvec) ORDER BY k) AS cl
+  FROM cents GROUP BY m),
 enc AS (
+  -- argmin over the pre-aggregated per-subspace centroid list (the
+  -- round-8 ANN-oracle pattern): the join form (dbsubs x cents =
+  -- 307M list-carrying rows at sf30) allocates outside DuckDB 1.0's
+  -- memory accounting and OOMs the box; this fold keeps the row count
+  -- at |dbsubs| and is the same argmin (min over struct(d, k) =
+  -- lowest distance, ties to lowest k, identical to the join+min).
   SELECT s.vec_id, s.m,
-    min(struct_pack(
-      d := {_PQ_SUB_D2.format(a="s.svec", b="c.cvec")},
-      k := c.k)).k AS k
-  FROM dbsubs s JOIN cents c ON s.m = c.m
-  GROUP BY s.vec_id, s.m),
+    list_aggregate(
+      list_transform(cc.cl,
+        c -> struct_pack(
+          d := {_PQ_SUB_D2.format(a="s.svec", b="c.cvec")},
+          k := c.k)),
+      'min').k AS k
+  FROM dbsubs s JOIN centlists cc ON s.m = cc.m),
 lut AS (
   SELECT q.vec_id AS qid, c.m, c.k,
     {_PQ_SUB_D2.format(a="q.qvec", b="c.cvec")} AS qd2

@@ -24,6 +24,7 @@ for log in (
     "/tmp/sweep_sf30_oracle3.log",
     "/tmp/sweep_sf30_heavy4.log",
     "/tmp/sweep_sf30_oracle4.log",
+    "/tmp/sweep_sf30_pq2.log",
 ):
     try:
         text = open(log).read().replace("\r", "\n")
