@@ -3,34 +3,43 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: median sec of 5 INTERLEAVED runs, ...},
- "iqr": {name: interquartile range, ...},
- "spread": {name: [min, max], ...}, "sf": <sf>}
+ "queries": {name: headline sec, ...}, "sf": <sf>, ...}
 
-Drift-proof protocol (round-7 verdict, What's wrong #2): single warm
-runs drift +/-10% round-over-round from machine noise alone, the same
-size as the regressions the bench exists to catch. Two defenses:
+Trust-by-construction protocol (round-10 verdict, Next #1). Two rounds
+running, the single-JVM bench read as a phantom regression on
+byte-identical code: same-commit two-worktree controls spread +/-9% per
+JVM (AB_r09_control.json), the variance is CORRELATED across queries
+within a JVM, and the host CPU has a measured ~4x slow power state —
+so one unlucky JVM (or one slow host window) shifted every median
+one-sidedly. Structural fixes, in this file rather than in the
+explanation:
 
-1. INTERLEAVED repetitions — the rep loop is OUTER and the query loop
-   INNER (q1 q2 ... q13, q1 q2 ... five times), so slow machine drift
-   during the bench lands on every query equally instead of
-   concentrating on whichever query ran during the bad minute. Each
-   query reports the median + IQR of its 5 interleaved samples; an IQR
-   much smaller than a round-over-round delta marks the delta as real.
-2. A/B vs a pinned commit — ``tools/ab_bench.py HEAD git:<r7-commit>``
-   runs the SAME headline set from two checkouts in alternating ABBA
-   order (fresh JVM each side), which cancels drift entirely. The
-   per-round artifact for this lives in ROUND_NOTES; this script stays
-   single-process so the driver's per-round run is cheap.
+1. MULTI-JVM, MIN-OF-MINS HEADLINE. The query set runs in >=2 fresh
+   JVMs (interleaved reps inside each); each row's headline number is
+   the min over all JVMs of the min over reps. A single unlucky JVM
+   can no longer poison the artifact — the other JVM's min survives.
+   Per-JVM medians + cpu probes are kept as diagnostics so a real
+   regression (both JVMs slow, probes normal) is still visible.
+2. DEDICATED CONVERSION JVMs. `tensor_to_zarr_4GB` and
+   `pyramid_compute_2GB` previously ran LAST in the query JVM, after
+   ~75 query executions of GC/shuffle-file pressure — the exact
+   contamination the sf30 sweep measured on q09 (44.4 s in-sweep vs
+   18.9 s fresh-JVM, ROUND_NOTES 10f). They now run in their own fresh
+   JVMs and never share a heap with the query set.
+3. CPU-PROBE SANITY COLUMN. Every JVM records a pinned-size matmul
+   probe; `value_probe_scaled` rescales the headline to the reference
+   probe speed (PROBE_REF_MS, the r10 steady state) so a drifted total
+   can be read against the host speed it ran at.
+
+Cross-commit regression claims still belong to ``tools/ab_bench.py``
+(ABBA interleave cancels drift entirely); this artifact is the cheap
+per-round snapshot, now robust to the two failure modes observed.
 
 Headline set: one query per operator family, weighted toward the
-shuffle-heavy paths that dominate at scale (joins, aggregation, windows,
-dedup pair generation) plus the tensor conversion pipeline at a bench
-scale (synthetic source, pure write path). Round 8 swapped the LSH row
-from the uncapped contrast variant to `q_minhash_lsh_pairs_capped` —
-the production path users should run at scale (round-7 verdict, What's
-wrong #3); r7 medians for the uncapped row remain in BENCH_r07.json for
-comparability.
+shuffle-heavy paths that dominate at scale (joins, aggregation,
+windows, dedup pair generation) plus the tensor conversion pipeline at
+bench scale (synthetic source, pure write path). Round 8 swapped the
+LSH row to `q_minhash_lsh_pairs_capped` (production path).
 """
 
 from __future__ import annotations
@@ -38,18 +47,12 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from aind_exaspim_data_transformation_spark.config import ConvertJobSettings
-from aind_exaspim_data_transformation_spark.queries import QUERIES
-from aind_exaspim_data_transformation_spark.session import get_spark
-from aind_exaspim_data_transformation_spark.zarrio.pipeline import (
-    convert_to_zarr,
-)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -67,7 +70,20 @@ HEADLINE = [
     "q_shard_grid",
 ]
 
-REPS = 5
+CONVERSION_ROWS = ["tensor_to_zarr_4GB", "pyramid_compute_2GB"]
+
+# JVM fan-out: 2 query JVMs x 3 interleaved reps = 6 timed samples per
+# query (vs the old 1 JVM x 5), plus 2 conversion JVMs x 2 reps.
+N_QUERY_JVMS = int(os.environ.get("BENCH_QUERY_JVMS", "2"))
+N_CONV_JVMS = int(os.environ.get("BENCH_CONV_JVMS", "2"))
+REPS_PER_JVM = int(os.environ.get("BENCH_REPS", "3"))
+CONV_REPS_PER_JVM = int(os.environ.get("BENCH_CONV_REPS", "2"))
+
+# Reference cpu-probe speed (ms) for the sanity column: the r10
+# steady-state reading on this host class (BENCH_r10.json env).
+PROBE_REF_MS = 27.7
+
+_CHILD_TAG = "BENCHCHILD "
 
 
 def _env_snapshot() -> dict:
@@ -114,22 +130,23 @@ def _env_snapshot() -> dict:
     return snap
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    env_before = _env_snapshot()
+def _child_queries(sf_dir: str, cpus: int, reps: int) -> dict:
+    """One fresh JVM: warm-up + `reps` INTERLEAVED passes over HEADLINE.
+
+    Interleaving (rep loop OUTER, query loop INNER) spreads slow
+    machine drift across every query equally instead of concentrating
+    it on whichever query ran during the bad minute (round-7 fix)."""
+    from aind_exaspim_data_transformation_spark.queries import QUERIES
+    from aind_exaspim_data_transformation_spark.session import get_spark
+
+    env = _env_snapshot()
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + catalog with one tiny action so timings measure the
-    # queries, not session startup.
+    # Warm the JVM + catalog with one tiny action, then one untimed
+    # cold pass (whole-stage codegen compile + file-index population
+    # are one-time costs that amortize away on a long-lived cluster).
     QUERIES["q06_forecast_revenue"](spark, sf_dir).collect()
-
-    # One untimed warm-up pass over the whole set (whole-stage codegen
-    # compile + file-index population are one-time costs that amortize
-    # away on a long-lived cluster); the cold total is reported for
-    # transparency. Then REPS timed INTERLEAVED passes.
     cold_total = 0.0
     for name in HEADLINE:
         t0 = time.monotonic()
@@ -137,28 +154,33 @@ def main() -> None:
         cold_total += time.monotonic() - t0
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(REPS):
+    for _ in range(reps):
         for name in HEADLINE:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).collect()
             samples[name].append(time.monotonic() - t0)
+    spark.stop()
+    return {"samples": samples, "cold_total": round(cold_total, 3), "env": env}
 
-    timings: dict[str, float] = {}
-    mins: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    iqr: dict[str, float] = {}
-    for name, runs in samples.items():
-        timings[name] = round(statistics.median(runs), 3)
-        mins[name] = round(min(runs), 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-        q1, _, q3 = statistics.quantiles(runs, n=4)
-        iqr[name] = round(q3 - q1, 3)
 
-    # Tensor conversion throughput (the reference's core workload;
-    # BASELINE.md comparable: 0.084 GB/s at 8-16 workers). Warm the
-    # Python workers with a tiny run, then convert 4.3 GB synthetic
-    # uint16 through the shard writer with zstd-3 (the production codec,
-    # matching the reference's chain).
+def _child_conversion(cpus: int, reps: int) -> dict:
+    """One fresh JVM dedicated to the two conversion rows — never
+    shares a heap with the query set (round-10 verdict, Next #1b)."""
+    from aind_exaspim_data_transformation_spark.config import (
+        ConvertJobSettings,
+    )
+    from aind_exaspim_data_transformation_spark.session import get_spark
+    from aind_exaspim_data_transformation_spark.zarrio.pipeline import (
+        convert_to_zarr,
+    )
+
+    env = _env_snapshot()
+    spark = get_spark("bench-conv", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Tiny warm run spins up Python workers; one untimed bench-scale
+    # run pays worker buffer growth + page-cache population (observed
+    # spread without it: [3.2 s, 6.5 s] for identical work).
     with tempfile.TemporaryDirectory() as tmp:
         convert_to_zarr(
             spark,
@@ -169,10 +191,6 @@ def main() -> None:
                 shard_shape=(32, 32, 32),
             ),
         )
-    # One untimed bench-scale run first: the initial large conversion in
-    # a session pays Python-worker buffer growth and page-cache
-    # population (observed spread without it: [3.2 s, 6.5 s] for
-    # identical work), exactly like the per-query warm-ups above.
     with tempfile.TemporaryDirectory() as tmp:
         convert_to_zarr(
             spark,
@@ -186,8 +204,13 @@ def main() -> None:
                 codec_level=3,
             ),
         )
+
+    # tensor_to_zarr_4GB: 4.3 GB synthetic uint16 through the shard
+    # writer with zstd-3 (production codec, matching the reference's
+    # chain; BASELINE.md comparable: 0.084 GB/s at 8-16 workers).
     conv_runs: list[float] = []
-    for _ in range(3):
+    conv_bytes = 0
+    for _ in range(reps):
         with tempfile.TemporaryDirectory() as tmp:
             t0 = time.monotonic()
             result = convert_to_zarr(
@@ -203,22 +226,14 @@ def main() -> None:
                 ),
             )
             conv_runs.append(time.monotonic() - t0)
-    dt = statistics.median(conv_runs)
-    timings["tensor_to_zarr_4GB"] = round(dt, 3)
-    mins["tensor_to_zarr_4GB"] = round(min(conv_runs), 3)
-    spread["tensor_to_zarr_4GB"] = [
-        round(min(conv_runs), 3),
-        round(max(conv_runs), 3),
-    ]
-    conversion_gbps = round(result["stages"][0]["bytes_read"] / 1e9 / dt, 4)
+            conv_bytes = result["stages"][0]["bytes_read"]
 
-    # Computed-pyramid throughput (A1 kernel path, verdict r4 item 5):
-    # level 0 copied + levels 1-2 mean-downsampled FROM THE STORE
-    # (read-back + block-reduce + write). GB/s is level-0 source bytes
-    # over the whole 3-level wall time — the end-to-end number a user
-    # sees when the source has no pyramid to translate.
+    # pyramid_compute_2GB (A1 kernel path): level 0 copied + levels 1-2
+    # mean-downsampled FROM THE STORE (read-back + block-reduce +
+    # write). GB/s is level-0 source bytes over the 3-level wall time.
     pyr_runs: list[float] = []
-    for _ in range(3):
+    pyr_bytes = 0
+    for _ in range(reps):
         with tempfile.TemporaryDirectory() as tmp:
             t0 = time.monotonic()
             pyr = convert_to_zarr(
@@ -236,46 +251,160 @@ def main() -> None:
                 ),
             )
             pyr_runs.append(time.monotonic() - t0)
-    pdt = statistics.median(pyr_runs)
-    timings["pyramid_compute_2GB"] = round(pdt, 3)
-    mins["pyramid_compute_2GB"] = round(min(pyr_runs), 3)
-    spread["pyramid_compute_2GB"] = [
-        round(min(pyr_runs), 3),
-        round(max(pyr_runs), 3),
-    ]
+            pyr_bytes = pyr["stages"][0]["bytes_read"]
+    spark.stop()
+    return {
+        "conv_runs": conv_runs,
+        "pyr_runs": pyr_runs,
+        "conv_bytes": conv_bytes,
+        "pyr_bytes": pyr_bytes,
+        "env": env,
+    }
+
+
+def _run_child(args: list[str]) -> dict:
+    """Spawn one fresh-JVM child (this same file) and parse its tagged
+    JSON line. Children run SEQUENTIALLY — parallel JVMs would contend
+    for the same 32 cores and measure each other."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith(_CHILD_TAG):
+            return json.loads(line[len(_CHILD_TAG):])
+    sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
+    raise RuntimeError(f"bench child {args} produced no result line")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-queries":
+        print(_CHILD_TAG + json.dumps(_child_queries(sf_dir, cpus, REPS_PER_JVM)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-conversion":
+        print(_CHILD_TAG + json.dumps(_child_conversion(cpus, CONV_REPS_PER_JVM)))
+        return
+
+    # Parent: orchestrate fresh JVMs, aggregate min-of-mins.
+    env_parent = _env_snapshot()  # also pulls the host out of slow state
+    qjvms = [_run_child(["--child-queries"]) for _ in range(N_QUERY_JVMS)]
+    cjvms = [_run_child(["--child-conversion"]) for _ in range(N_CONV_JVMS)]
+
+    timings: dict[str, float] = {}  # headline: min over JVMs of min
+    medians: dict[str, float] = {}  # pooled median (diagnostic)
+    spread: dict[str, list[float]] = {}
+    iqr: dict[str, float] = {}
+    for name in HEADLINE:
+        pooled = [s for j in qjvms for s in j["samples"][name]]
+        per_jvm_mins = [min(j["samples"][name]) for j in qjvms]
+        timings[name] = round(min(per_jvm_mins), 3)
+        medians[name] = round(statistics.median(pooled), 3)
+        spread[name] = [round(min(pooled), 3), round(max(pooled), 3)]
+        if len(pooled) >= 2:
+            q1, _, q3 = statistics.quantiles(pooled, n=4)
+            iqr[name] = round(q3 - q1, 3)
+        else:
+            iqr[name] = 0.0
+
+    conv_pooled = [s for j in cjvms for s in j["conv_runs"]]
+    pyr_pooled = [s for j in cjvms for s in j["pyr_runs"]]
+    for name, pooled in (
+        ("tensor_to_zarr_4GB", conv_pooled),
+        ("pyramid_compute_2GB", pyr_pooled),
+    ):
+        timings[name] = round(min(pooled), 3)
+        medians[name] = round(statistics.median(pooled), 3)
+        spread[name] = [round(min(pooled), 3), round(max(pooled), 3)]
+
+    value = round(sum(timings.values()), 3)
+    value_median = round(sum(medians.values()), 3)
+    conversion_gbps = round(
+        cjvms[0]["conv_bytes"] / 1e9 / min(conv_pooled), 4
+    )
     pyramid_compute_gbps = round(
-        pyr["stages"][0]["bytes_read"] / 1e9 / pdt, 4
+        cjvms[0]["pyr_bytes"] / 1e9 / min(pyr_pooled), 4
     )
 
-    total = round(sum(timings.values()), 3)
+    probes = [j["env"].get("cpu_probe_ms") for j in qjvms + cjvms]
+    probes = [p for p in probes if p]
+    best_probe = min(probes) if probes else None
+    jvm_diag = {
+        "query_jvms": [
+            {
+                "min_total": round(sum(min(j["samples"][n]) for n in HEADLINE), 3),
+                "median_total": round(
+                    sum(statistics.median(j["samples"][n]) for n in HEADLINE), 3
+                ),
+                "cpu_probe_ms": j["env"].get("cpu_probe_ms"),
+                "loadavg_1m": j["env"].get("loadavg_1m"),
+            }
+            for j in qjvms
+        ],
+        "conversion_jvms": [
+            {
+                "conv_runs": [round(s, 3) for s in j["conv_runs"]],
+                "pyr_runs": [round(s, 3) for s in j["pyr_runs"]],
+                "cpu_probe_ms": j["env"].get("cpu_probe_ms"),
+            }
+            for j in cjvms
+        ],
+    }
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_seconds",
-                "value": total,
+                # HEADLINE = min over fresh JVMs of min over reps, per
+                # row, summed. Directly comparable to BENCH_r10.json's
+                # "value_min" (18.863) — NOT to older rounds' medians.
+                "value": value,
                 "unit": "sec",
                 "queries": timings,
-                # min-of-reps: the JVM/interference-robust estimator.
-                # Round-9 diagnosis (AB_r09_control.json): per-JVM totals
-                # on IDENTICAL code spread +/-9% and the variance is
-                # correlated across queries within a JVM, so a single
-                # unlucky bench JVM shifts every median one-sidedly —
-                # compare value_min across rounds before believing a
-                # median drift; cross-commit claims need tools/ab_bench.
-                "value_min": round(sum(mins.values()), 3),
-                "queries_min": mins,
+                "value_min": value,  # alias: headline IS the min protocol
+                "queries_min": timings,
+                "value_median_pooled": value_median,
+                "queries_median_pooled": medians,
                 "iqr": iqr,
                 "spread": spread,
-                "env": env_before,
+                "jvm_diagnostics": jvm_diag,
+                "env": env_parent,
                 "sf": sf,
-                "reps": REPS,
-                "protocol": "interleaved",
+                "n_query_jvms": N_QUERY_JVMS,
+                "n_conversion_jvms": N_CONV_JVMS,
+                "reps_per_jvm": REPS_PER_JVM,
+                "protocol": (
+                    "multi-jvm min-of-mins: >=2 fresh query JVMs with"
+                    " interleaved reps; conversion rows in dedicated fresh"
+                    " JVMs; headline value = sum of per-row min over JVMs"
+                    " (round-10 verdict Next #1 — robust to the measured"
+                    " per-JVM +/-9% correlated spread and host CPU"
+                    " slow-states; cross-commit claims still via"
+                    " tools/ab_bench.py)"
+                ),
+                # Sanity column: headline rescaled to the reference
+                # probe speed (r10 steady state). If value drifts but
+                # value_probe_scaled does not, the host was slow, not
+                # the code.
+                "cpu_probe_ms_best": best_probe,
+                "probe_ref_ms": PROBE_REF_MS,
+                "value_probe_scaled": (
+                    round(value * PROBE_REF_MS / best_probe, 3)
+                    if best_probe
+                    else None
+                ),
                 "conversion_gbps": conversion_gbps,
                 "pyramid_compute_gbps": pyramid_compute_gbps,
-                "cold_first_run_total_sec": round(cold_total, 3),
+                "cold_first_run_total_sec": qjvms[0]["cold_total"],
                 "headline_note": (
-                    "r8: lsh row is q_minhash_lsh_pairs_capped (production"
-                    " path); r7 rows used the uncapped contrast variant"
+                    "r11: value is min-of-mins across fresh JVMs (compare"
+                    " to r10 value_min, not r<=9 medians); lsh row is"
+                    " q_minhash_lsh_pairs_capped (production path)"
                 ),
             }
         )
