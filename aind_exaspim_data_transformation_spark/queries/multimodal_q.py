@@ -1145,14 +1145,21 @@ def binaryfile_fixture_dir() -> str:
     import os
     import tempfile
 
-    from ..operators.jpeg import encode_jpeg
-    from ..operators.media_codecs import encode_png
-    from ..operators.mp4 import encode_mp4_media
-
     root = os.path.join(tempfile.gettempdir(), "spark_graft_binfixture_v1")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
         return root
+
+    put = _binfixture_putter(root)
+    _write_binfixture_media(put)
+    put("readme.txt", b"decoy: pathGlobFilter must exclude me")
+    put("png/notes.dat", b"decoy inside a media subdir")
+    put(".complete", b"")
+    return root
+
+
+def _binfixture_putter(root: str):
+    import os
 
     def put(rel: str, blob: bytes) -> None:
         path = os.path.join(root, rel)
@@ -1161,6 +1168,14 @@ def binaryfile_fixture_dir() -> str:
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
+
+    return put
+
+
+def _write_binfixture_media(put) -> None:
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.media_codecs import encode_png
+    from ..operators.mp4 import encode_mp4_media
 
     for d in range(N_BINFILES):
         if d % 3 == 0:
@@ -1178,8 +1193,47 @@ def binaryfile_fixture_dir() -> str:
                 f"mp4/doc_{d:05d}.mp4",
                 encode_mp4_media(600, [_binfile_mp4_track(d)]),
             )
-    put("readme.txt", b"decoy: pathGlobFilter must exclude me")
-    put("png/notes.dat", b"decoy inside a media subdir")
+
+
+def binaryfile_corrupt_fixture_dir() -> str:
+    """The 60-file media tree PLUS one corrupt file per format — the
+    poison-pill fixture for the permissive decode path (round-10
+    verdict, Next #2). At 100 TB some inputs are always truncated or
+    garbage; a deterministic decode error fails a Spark task on every
+    retry, so without quarantine one bad payload aborts the whole job.
+
+    Corrupt members (filenames match the production glob, so a strict
+    scan WILL hit them): ``png/doc_00060.png`` truncated mid-IDAT,
+    ``jpg/doc_00061.jpg`` an SOI marker followed by garbage,
+    ``mp4/doc_00062.mp4`` a valid file whose stsc entry count is
+    smashed to 0xFFFFFFFF (table overruns the box body).
+    """
+    import os
+    import tempfile
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.media_codecs import encode_png
+    from ..operators.mp4 import encode_mp4_media
+
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_binfixture_corrupt_v1"
+    )
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+
+    put = _binfixture_putter(root)
+    _write_binfixture_media(put)
+    good_png = encode_png(_binfile_png_image(60), filter_cycle=5)
+    put("png/doc_00060.png", good_png[: len(good_png) // 2])
+    put(
+        "jpg/doc_00061.jpg",
+        b"\xff\xd8" + bytes((i * 37 + 11) % 256 for i in range(500)),
+    )
+    good_mp4 = bytearray(encode_mp4_media(600, [_binfile_mp4_track(62)]))
+    stsc = good_mp4.find(b"stsc")
+    good_mp4[stsc + 8 : stsc + 12] = b"\xff\xff\xff\xff"  # entry count
+    put("mp4/doc_00062.mp4", bytes(good_mp4))
     put(".complete", b"")
     return root
 
@@ -1213,16 +1267,92 @@ SELECT * FROM png UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM mp4
 """
 
 
-@query("q_multimodal_binaryfile_scan", oracle=_BINARYFILE_ORACLE)
-def q_multimodal_binaryfile_scan(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _decode_binfile(name: str, data: bytes) -> tuple:
+    """Decode one media file to its fixed-width stat row
+    ``(doc_id, media_format, stat_sum, stat_n)``; raises on malformed
+    payloads (the permissive wrapper turns that into an error row)."""
     from ..operators.jpeg import decode_jpeg
     from ..operators.media_codecs import decode_png
     from ..operators.mp4 import demux_samples
 
-    root = binaryfile_fixture_dir()
-    files = (
+    d = int(name[4:9])
+    if name.endswith(".png"):
+        img = decode_png(data).astype(np.int64)
+        return (d, "png", int(img.sum()), img.shape[0] * img.shape[1])
+    if name.endswith(".jpg"):
+        img = decode_jpeg(data).astype(np.int64)
+        return (d, "jpeg", int(img[:, :, 0].sum()), img.shape[0] * img.shape[1])
+    samples = demux_samples(data)
+    s = 0
+    for r in samples:
+        s += int(
+            np.frombuffer(
+                data[r["offset"] : r["offset"] + r["size"]],
+                dtype=np.uint8,
+            ).astype(np.int64).sum()
+        )
+    return (d, "mp4", s, len(samples))
+
+
+_BINFILE_EXT_FORMAT = {"png": "png", "jpg": "jpeg", "mp4": "mp4"}
+
+_BINFILE_DECODE_SCHEMA = (
+    "doc_id long, media_format string, stat_sum long, stat_n long, "
+    "error_stage string, error_message string"
+)
+
+
+def _binfile_decode_runner(permissive: bool):
+    """mapInPandas runner over binaryFile rows (path, content).
+
+    Strict mode re-raises decode errors — one poison-pill payload
+    fails the task deterministically (Spark retries can't fix a
+    deterministic decode error, so the stage eventually aborts the
+    job). Permissive mode quarantines instead: the bad file becomes an
+    error row ``(doc_id, format-from-extension, NULL, NULL, stage,
+    message)`` and every other file still decodes — the reference's
+    defensive-read posture (``utils/utils.py:114-146`` returns empty on
+    bad JSON rather than raising), applied to media payloads.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                data = bytes(content)
+                try:
+                    out.append(_decode_binfile(name, data) + (None, None))
+                except Exception as exc:  # noqa: BLE001 — quarantine path
+                    if not permissive:
+                        raise
+                    out.append(
+                        (
+                            int(name[4:9]),
+                            _BINFILE_EXT_FORMAT[name.rsplit(".", 1)[-1]],
+                            None,
+                            None,
+                            "decode",
+                            f"{type(exc).__name__}: {exc}",
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_format",
+                    "stat_sum",
+                    "stat_n",
+                    "error_stage",
+                    "error_message",
+                ],
+            )
+
+    return run
+
+
+def _binaryfile_scan(spark: SparkSession, root: str) -> DataFrame:
+    return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{png,jpg,mp4}")
         .option("recursiveFileLookup", "true")
@@ -1230,40 +1360,73 @@ def q_multimodal_binaryfile_scan(
         .select("path", "content")
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                name = path.rsplit("/", 1)[-1]
-                d = int(name[4:9])
-                data = bytes(content)
-                if name.endswith(".png"):
-                    img = decode_png(data).astype(np.int64)
-                    row = (d, "png", int(img.sum()), img.shape[0] * img.shape[1])
-                elif name.endswith(".jpg"):
-                    img = decode_jpeg(data).astype(np.int64)
-                    row = (
-                        d,
-                        "jpeg",
-                        int(img[:, :, 0].sum()),
-                        img.shape[0] * img.shape[1],
-                    )
-                else:
-                    samples = demux_samples(data)
-                    s = 0
-                    for r in samples:
-                        s += int(
-                            np.frombuffer(
-                                data[r["offset"] : r["offset"] + r["size"]],
-                                dtype=np.uint8,
-                            ).astype(np.int64).sum()
-                        )
-                    row = (d, "mp4", s, len(samples))
-                out.append(row)
-            yield pd.DataFrame(
-                out, columns=["doc_id", "media_format", "stat_sum", "stat_n"]
-            )
 
+@query("q_multimodal_binaryfile_scan", oracle=_BINARYFILE_ORACLE)
+def q_multimodal_binaryfile_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    files = _binaryfile_scan(spark, binaryfile_fixture_dir())
     return files.mapInPandas(
-        run, "doc_id long, media_format string, stat_sum long, stat_n long"
+        _binfile_decode_runner(permissive=False), _BINFILE_DECODE_SCHEMA
+    ).select("doc_id", "media_format", "stat_sum", "stat_n")
+
+
+# Permissive scan over the poison-pill tree (round-10 verdict, Next
+# #2): the corrupt fixture adds one malformed file per format; the
+# permissive decoder quarantines each as an error row instead of
+# failing the task, and the query folds both populations into one
+# per-format summary. The oracle recomputes the good-file stats
+# closed-form (same CTEs as the strict query) and pins error_files=1
+# per format — hash-green means corrupt inputs were COUNTED, not
+# crashed on and not silently dropped.
+_BINARYFILE_PERMISSIVE_ORACLE = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {N_BINFILES}),
+png AS (
+  SELECT doc_id, 'png' AS media_format,
+    CAST(SUM(((doc_id * 7 + r * 3 + c * 5) % 256)
+           + ((doc_id * 11 + r * 2 + c * 9 + 1) % 256)
+           + ((doc_id * 13 + r * 4 + c * 7 + 2) % 256)) AS BIGINT)
+      AS stat_sum
+  FROM ids, range(0, {IMG_H}) t1(r), range(0, {IMG_W}) t2(c)
+  WHERE doc_id % 3 = 0 GROUP BY doc_id),
+jpg AS (
+  SELECT doc_id, 'jpeg' AS media_format,
+    CAST(SUM(2 * ((doc_id * 7 + bi.i * 13 + bj.i * 29) % 128)) * 64
+      AS BIGINT) AS stat_sum
+  FROM ids, range(0, {JPEG_BLOCKS}) bi(i), range(0, {JPEG_BLOCKS}) bj(i)
+  WHERE doc_id % 3 = 1 GROUP BY doc_id),
+mp4 AS (
+  SELECT doc_id, 'mp4' AS media_format,
+    CAST(SUM((40 + ((i - 1) * 9) % 30) * ((doc_id * 13 + i) % 256))
+      AS BIGINT) AS stat_sum
+  FROM ids, range(1, 12) t(i)
+  WHERE doc_id % 3 = 2 AND i <= 5 + doc_id % 7 GROUP BY doc_id),
+good AS (
+  SELECT * FROM png UNION ALL SELECT * FROM jpg UNION ALL
+  SELECT * FROM mp4)
+SELECT media_format,
+  CAST(COUNT(*) AS BIGINT) AS ok_files,
+  CAST(1 AS BIGINT) AS error_files,
+  CAST(SUM(stat_sum) AS BIGINT) AS ok_stat_sum
+FROM good GROUP BY media_format
+"""
+
+
+@query(
+    "q_multimodal_binaryfile_permissive",
+    oracle=_BINARYFILE_PERMISSIVE_ORACLE,
+)
+def q_multimodal_binaryfile_permissive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    files = _binaryfile_scan(spark, binaryfile_corrupt_fixture_dir())
+    decoded = files.mapInPandas(
+        _binfile_decode_runner(permissive=True), _BINFILE_DECODE_SCHEMA
+    )
+    return decoded.groupBy("media_format").agg(
+        F.count(F.when(F.col("error_stage").isNull(), 1)).alias("ok_files"),
+        F.count(
+            F.when(F.col("error_stage").isNotNull(), 1)
+        ).alias("error_files"),
+        F.sum("stat_sum").alias("ok_stat_sum"),
     )

@@ -59,3 +59,62 @@ def test_binaryfile_decode_plan_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_permissive_decode_quarantines_corrupt_files(spark):
+    """Poison-pill tolerance (round-10 verdict, Next #2): the corrupt
+    tree has one malformed file per format; permissive mode yields an
+    error row per bad file and decodes everything else — the job never
+    aborts."""
+    from aind_exaspim_data_transformation_spark.queries.multimodal_q import (
+        _BINFILE_DECODE_SCHEMA,
+        _binaryfile_scan,
+        _binfile_decode_runner,
+        binaryfile_corrupt_fixture_dir,
+    )
+
+    files = _binaryfile_scan(spark, binaryfile_corrupt_fixture_dir())
+    rows = files.mapInPandas(
+        _binfile_decode_runner(permissive=True), _BINFILE_DECODE_SCHEMA
+    ).collect()
+    good = [r for r in rows if r["error_stage"] is None]
+    bad = {r["doc_id"]: r for r in rows if r["error_stage"] is not None}
+    assert len(good) == N_BINFILES
+    assert sorted(bad) == [60, 61, 62]
+    assert all(r["error_stage"] == "decode" for r in bad.values())
+    assert all(r["stat_sum"] is None for r in bad.values())
+    # the error message names the decode failure, per format
+    assert "truncated" in bad[60]["error_message"]
+    assert "JpegError" in bad[61]["error_message"]
+    assert "Mp4Error" in bad[62]["error_message"]
+    assert {bad[60]["media_format"], bad[61]["media_format"],
+            bad[62]["media_format"]} == {"png", "jpeg", "mp4"}
+
+
+def test_strict_decode_fails_on_corrupt_tree(spark):
+    """Contrast row: WITHOUT permissive mode the same tree fails the
+    task (deterministic decode error — retries can't fix it)."""
+    import pytest
+
+    from aind_exaspim_data_transformation_spark.queries.multimodal_q import (
+        _BINFILE_DECODE_SCHEMA,
+        _binaryfile_scan,
+        _binfile_decode_runner,
+        binaryfile_corrupt_fixture_dir,
+    )
+
+    files = _binaryfile_scan(spark, binaryfile_corrupt_fixture_dir())
+    df = files.mapInPandas(
+        _binfile_decode_runner(permissive=False), _BINFILE_DECODE_SCHEMA
+    )
+    with pytest.raises(Exception, match="truncated|JpegError|Mp4Error"):
+        df.collect()
+
+
+def test_permissive_summary_plan_single_exchange(spark):
+    """Decode stays map-only; the only shuffle is the tiny per-format
+    summary aggregation (fixed-width rows, never payload bytes)."""
+    df = QUERIES["q_multimodal_binaryfile_permissive"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert "MapInPandas" in plan, plan
