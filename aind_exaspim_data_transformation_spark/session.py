@@ -16,6 +16,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Compressed-input bytes per initial shuffle partition. Rationale: the
+# scan targets ~128 MB post-decompression partitions
+# (spark.sql.files.maxPartitionBytes below) and zstd/snappy parquet for
+# these tables measures ~4x compression, so 32 MB of compressed input
+# feeding one shuffle partition keeps shuffle blocks in the same ~128 MB
+# in-memory band. AQE only coalesces DOWN from the initial number — it
+# cannot split an under-partitioned shuffle (short of skew-join
+# triggers), so the initial count must come from input size. Measured
+# (sf30, ROUND_NOTES 10f): q09 at 32 partitions = 18.9 s, at 128 = 13.8 s;
+# this helper yields 188 for that input — the same band.
+BYTES_PER_SHUFFLE_PARTITION = 32 * 1024 * 1024
+
+
+def shuffle_partitions_for_bytes(
+    input_bytes: int, cpus: int | None = None
+) -> int:
+    """Initial ``spark.sql.shuffle.partitions`` sized from the bytes a
+    job will scan: never below the core count (parallelism floor),
+    scaling linearly above it so partitions stay shuffle-spill-safe at
+    any SF. Pass the sum of the input files' on-disk sizes."""
+    import math
+
+    cpus = cpus or DEFAULT_CPUS
+    return max(cpus, math.ceil(input_bytes / BYTES_PER_SHUFFLE_PARTITION))
+
 
 def _ensure_protoshim_pythonpath() -> None:
     """When no real google.protobuf exists, expose the from-spec shim's
@@ -45,11 +70,17 @@ def get_spark(
     app_name: str = "exaspim-spark-engine",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    target_input_bytes: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     On a real cluster the master/deploy settings come from spark-submit;
     everything here is master-agnostic except the local[] fallback.
+
+    ``target_input_bytes`` (opt-in): size the INITIAL shuffle-partition
+    count from the input the job will scan, via
+    :func:`shuffle_partitions_for_bytes`. Applied as a runtime conf, so
+    it also takes effect when an existing session is returned.
     """
     cpus = cpus or DEFAULT_CPUS
     _ensure_protoshim_pythonpath()
@@ -88,4 +119,10 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if target_input_bytes is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions_for_bytes(target_input_bytes, cpus)),
+        )
+    return spark

