@@ -192,6 +192,63 @@ class SyntheticSource(TensorSource):
         return flat.astype(np.uint16)
 
 
+class SyntheticNoiseSource(SyntheticSource):
+    """``synthnoise://Z,Y,X[,levels]``: calibrated shot-noise tensor —
+    the realistic-entropy twin of ``synth://`` (round-10 verdict, Next
+    #6). The plain ramp compresses ~65:1, flattering codec-path GB/s;
+    real microscopy lands ~2-3:1. This source models that regime:
+
+    - sparse bright structure (~12% of voxels) on a dark background —
+      a separable product of sinusoids thresholded at its upper range,
+      so "blobs" with ~100-voxel periods, generated from per-axis
+      vectors (cheap) then broadcast;
+    - Poisson-matched shot noise: a coordinate-hashed uniform
+      (Knuth-multiplicative + xorshift finalizer, no RNG state) scaled
+      by ``sqrt(signal)`` — variance equals a true Poisson's.
+
+    Measured: ~2.0:1 under gzip-1 on 16-bit voxels. Deterministic and
+    block-boundary-independent: every voxel is a pure function of its
+    absolute (level, z, y, x), so any tiling reads identical data —
+    the same contract the Zarr idempotence tests rely on.
+    """
+
+    _BASE = np.float32(100.0)  # dark-background photon level
+    _AMP = np.float32(3000.0)  # bright-structure peak above it
+
+    def __init__(self, path: str):
+        super().__init__("synth://" + path.removeprefix("synthnoise://"))
+
+    def read_block(self, level, z0, z1, y0, y1, x0, x1):
+        _, sy, sx = self.meta.shapes[level]
+        z = np.arange(z0, z1, dtype=np.uint32)[:, None, None]
+        y = np.arange(y0, y1, dtype=np.uint32)[None, :, None]
+        x = np.arange(x0, x1, dtype=np.uint32)[None, None, :]
+        two_pi = 2 * np.pi
+        gz = (0.5 * (1 + np.sin(two_pi * np.arange(z0, z1) / 97.0))).astype(
+            np.float32
+        )[:, None, None]
+        gy = (0.5 * (1 + np.sin(two_pi * np.arange(y0, y1) / 131.0))).astype(
+            np.float32
+        )[None, :, None]
+        gx = (0.5 * (1 + np.sin(two_pi * np.arange(x0, x1) / 173.0))).astype(
+            np.float32
+        )[None, None, :]
+        sig = np.maximum(
+            gz * gy * gx - np.float32(0.5), np.float32(0)
+        ) * np.float32(2.0)
+        s = self._BASE + self._AMP * sig
+        # counter-based hash of the flat index (+level) -> uniform [0,1)
+        flat = (z * np.uint32(sy) + y) * np.uint32(sx) + x
+        h = (flat + np.uint32(level * 0x9E3779B9)) * np.uint32(2654435761)
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x45D9F3B)
+        h ^= h >> np.uint32(16)
+        u = h.astype(np.float32) * np.float32(1 / 2**32)
+        # (u-0.5)*2*sqrt(3) has unit variance -> scale by sqrt(s)
+        v = s + (u - np.float32(0.5)) * np.float32(3.4641016) * np.sqrt(s)
+        return np.clip(v, 0, 65535).astype(np.uint16)
+
+
 def write_imaris_file(
     path: str,
     levels: list[np.ndarray],
@@ -331,6 +388,8 @@ class Hdf5ImarisSource(TensorSource):
 
 def open_source(path: str) -> TensorSource:
     """Dispatch by scheme/extension; called on executors inside UDFs."""
+    if path.startswith("synthnoise://"):
+        return SyntheticNoiseSource(path)
     if path.startswith("synth://"):
         return SyntheticSource(path)
     if path.endswith((".ims", ".h5")):

@@ -153,3 +153,77 @@ def test_synthetic_source_no_io(spark, tmp_path):
     )[0, 0]
     want = src.read_block(0, 3, 17, 0, 40, 25, 40)
     np.testing.assert_array_equal(got, want)
+
+
+class TestSyntheticNoiseSource:
+    """Calibrated shot-noise source (round-10 verdict, Next #6): the
+    realistic-entropy twin of synth:// for conversion benchmarks."""
+
+    def test_tiling_invariance(self):
+        """Every voxel is a pure function of absolute coordinates, so
+        any tiling reads identical data — the property the idempotent
+        re-run guarantee depends on."""
+        import numpy as np
+
+        from aind_exaspim_data_transformation_spark.sources.tensor import (
+            open_source,
+        )
+
+        src = open_source("synthnoise://64,96,80")
+        whole = src.read_block(0, 0, 64, 0, 96, 0, 80)
+        assert whole.dtype == np.uint16 and whole.shape == (64, 96, 80)
+        part = src.read_block(0, 17, 49, 33, 96, 0, 41)
+        np.testing.assert_array_equal(part, whole[17:49, 33:96, 0:41])
+        # deterministic across instances
+        again = open_source("synthnoise://64,96,80").read_block(
+            0, 0, 64, 0, 96, 0, 80
+        )
+        np.testing.assert_array_equal(again, whole)
+
+    def test_levels_differ_and_shapes_halve(self):
+        from aind_exaspim_data_transformation_spark.sources.tensor import (
+            open_source,
+        )
+
+        src = open_source("synthnoise://64,64,64,2")
+        assert src.meta.shapes == [(64, 64, 64), (32, 32, 32)]
+        b0 = src.read_block(0, 0, 32, 0, 32, 0, 32)
+        b1 = src.read_block(1, 0, 32, 0, 32, 0, 32)
+        assert (b0 != b1).any()  # level salt reaches the hash
+
+    def test_entropy_is_microscopy_like(self):
+        """The whole point: ~2-3:1, not the ramp's ~65:1."""
+        import zlib
+
+        from aind_exaspim_data_transformation_spark.sources.tensor import (
+            open_source,
+        )
+
+        # a 128^3 shard of the BENCH-geometry ramp: z*2^20 mod 2^16
+        # == 0, so all z-slices repeat -> the ~55:1 LZ feast that
+        # flatters the codec path; the noise twin denies it
+        noise = open_source("synthnoise://2048,1024,1024").read_block(
+            0, 0, 128, 0, 128, 0, 128
+        )
+        ramp = open_source("synth://2048,1024,1024").read_block(
+            0, 0, 128, 0, 128, 0, 128
+        )
+        r_noise = len(noise.tobytes()) / len(zlib.compress(noise.tobytes(), 1))
+        r_ramp = len(ramp.tobytes()) / len(zlib.compress(ramp.tobytes(), 1))
+        assert 1.5 <= r_noise <= 4.0, r_noise
+        assert r_ramp > 10 * r_noise  # the contrast the fixture exists for
+
+    def test_statistics_match_the_model(self):
+        """Dark background ~ base(100) +- 3.46*sqrt(100)/2; bright
+        fraction ~12%; mean uniform-hash is centered."""
+        from aind_exaspim_data_transformation_spark.sources.tensor import (
+            open_source,
+        )
+
+        b = open_source("synthnoise://128,256,256").read_block(
+            0, 0, 128, 0, 256, 0, 256
+        )
+        bright = (b > 200).mean()
+        assert 0.05 < bright < 0.25, bright
+        dark = b[b <= 200]
+        assert abs(float(dark.mean()) - 100.0) < 3.0

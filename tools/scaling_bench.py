@@ -47,6 +47,7 @@ def run_one(
     codec_level: int = 1,
     transpose: str | None = None,
     label: dict | None = None,
+    scheme: str = "synth",
 ) -> dict:
     # fresh JVM per configuration
     import subprocess
@@ -99,7 +100,7 @@ with tempfile.TemporaryDirectory() as tmp:
 with tempfile.TemporaryDirectory() as tmp:
     t0 = time.monotonic()
     r = convert_to_zarr(spark, ConvertJobSettings(
-        input_source='synth://{shape},1',
+        input_source='{scheme}://{shape},1',
         output_location=os.path.join(tmp, 'b.zarr'),
         chunk_shape=(64,64,64), shard_shape=(128,128,128),
         translate_pyramid=True, codec={codec!r}, codec_level={codec_level},
@@ -219,23 +220,34 @@ def main() -> None:
         # reference compressor parity) — the round-9 verdict asked for
         # the >=34 GB rows re-run under it; gzip-1/none/transpose kept
         # as contrast rows.
+        # "noise" rows use synthnoise:// — calibrated ~2:1 shot-noise
+        # entropy (round-10 verdict, Next #6): the ramp's ~65:1
+        # compressibility flatters codec-path GB/s, so the table now
+        # brackets real microscopy (~2-3:1) between the ramp row and
+        # the none-codec row, with the noise row as the realistic
+        # midpoint. Note the noise SOURCE itself costs ~85 MB/s/core to
+        # generate (sin + hash per voxel), a cost a disk-backed real
+        # source would not pay — the noise GB/s is therefore a
+        # conservative lower bound on the codec path.
         configs = [
-            ("4GB", "zstd", 3, None),
-            ("17GB", "zstd", 3, None),
-            ("17GB", "gzip", 1, None),
-            ("17GB", "none", 1, None),
-            ("17GB", "zstd", 3, "F"),
-            ("34GB", "zstd", 3, None),
-            ("69GB", "zstd", 3, None),
+            ("4GB", "zstd", 3, None, "synth"),
+            ("17GB", "zstd", 3, None, "synth"),
+            ("17GB", "gzip", 1, None, "synth"),
+            ("17GB", "none", 1, None, "synth"),
+            ("17GB", "zstd", 3, "F", "synth"),
+            ("4GB", "zstd", 3, None, "synthnoise"),
+            ("17GB", "zstd", 3, None, "synthnoise"),
+            ("34GB", "zstd", 3, None, "synth"),
+            ("69GB", "zstd", 3, None, "synth"),
         ]
         results = [
             run_one(
                 32, shapes[size], codec=codec, codec_level=lvl,
-                transpose=tr,
+                transpose=tr, scheme=scheme,
                 label={"size": size, "codec": f"{codec}-{lvl}",
-                       "transpose": tr},
+                       "transpose": tr, "source": scheme},
             )
-            for size, codec, lvl, tr in configs
+            for size, codec, lvl, tr, scheme in configs
         ]
         print(json.dumps({
             "workload": "synth uint16 -> zarr v3, size/codec/transpose sweep",
