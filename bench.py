@@ -291,10 +291,24 @@ def main() -> None:
         print(_CHILD_TAG + json.dumps(_child_conversion(cpus, CONV_REPS_PER_JVM)))
         return
 
-    # Parent: orchestrate fresh JVMs, aggregate min-of-mins.
+    # Parent: orchestrate fresh JVMs, aggregate min-of-mins. Children
+    # run sequentially but ALTERNATE kinds (Q C Q C ...): the host's
+    # bad windows (CPU slow-state, dirty-page writeback) last minutes,
+    # so two same-kind JVMs back-to-back can both land inside one —
+    # observed on the conversion rows (both conv JVMs 2-3x slow in the
+    # same run while every query JVM was clean). Alternation separates
+    # a kind's JVMs in time, which is what makes its min-over-JVMs
+    # robust to a single bad window.
     env_parent = _env_snapshot()  # also pulls the host out of slow state
-    qjvms = [_run_child(["--child-queries"]) for _ in range(N_QUERY_JVMS)]
-    cjvms = [_run_child(["--child-conversion"]) for _ in range(N_CONV_JVMS)]
+    kinds = []
+    for i in range(max(N_QUERY_JVMS, N_CONV_JVMS)):
+        if i < N_QUERY_JVMS:
+            kinds.append("--child-queries")
+        if i < N_CONV_JVMS:
+            kinds.append("--child-conversion")
+    results = [(k, _run_child([k])) for k in kinds]
+    qjvms = [r for k, r in results if k == "--child-queries"]
+    cjvms = [r for k, r in results if k == "--child-conversion"]
 
     timings: dict[str, float] = {}  # headline: min over JVMs of min
     medians: dict[str, float] = {}  # pooled median (diagnostic)

@@ -54,6 +54,7 @@ SHUFFLE_HEAVY = [
     "q_events_rolling_24h", "q_hll_sketch_union",
     # training-data assembly
     "q_docs_temperature_sample", "q_docs_pack_sequences",
+    "q_docs_pack_sequences_bpe",  # r11: real-token packing twin
     "q_docs_training_pipeline", "q_docs_stratified_sample",
     # multimodal codecs/operators (map-only by design — swept to prove
     # the per-row codec cost stays linear and payloads never shuffle)
