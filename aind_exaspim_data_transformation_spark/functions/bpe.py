@@ -97,3 +97,15 @@ def sql_token_count(col_expr: str) -> str:
     """DuckDB expression for the BPE token count of ``col_expr``
     (length() counts codepoints == tokens in the mapped string)."""
     return f"length({sql_apply_merges(col_expr)})"
+
+
+def sql_expansion_values() -> str:
+    """DuckDB VALUES rows mapping each merged token char to its source
+    substring, for de-mapping token streams in oracles: ``(VALUES
+    ('\\ue000', ' s'), ...) v(tok_char, token)``. Base chars are not
+    listed — they expand to themselves (COALESCE after a LEFT JOIN)."""
+    rows = ", ".join(
+        f"({_sql_quote(merged)}, {_sql_quote(exp)})"
+        for merged, exp in _EXPANSION.items()
+    )
+    return f"(VALUES {rows}) v(tok_char, token)"

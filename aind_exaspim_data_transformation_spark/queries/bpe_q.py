@@ -26,7 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.bpe import sql_token_count, token_count_series
+from ..functions.bpe import (
+    sql_apply_merges,
+    sql_expansion_values,
+    sql_token_count,
+    token_count_series,
+)
 from ..sources.tables import load_table
 from .dataprep_q import _SEQ_LEN
 from .registry import query
@@ -126,4 +131,54 @@ def q_docs_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         gstart.alias("global_start"),
         F.floor(gstart / _SEQ_LEN).alias("first_example"),
         F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
+    )
+
+
+# Corpus vocabulary usage: which learned merges actually carry the
+# corpus. Tokenize every document, explode the token stream, count by
+# token STRING (the expanded source substring — grouping by the
+# surface form, not the internal char, so two hypothetical merges with
+# identical expansions would fold together identically in both
+# engines), top-20 by (count desc, token asc). One exploded-aggregate
+# shuffle + TakeOrdered; the merges expansion map joins in as a
+# 256-row broadcast-sized VALUES relation on the oracle side and is a
+# plain Python dict inside the UDF on the Spark side.
+_BPE_VOCAB_ORACLE = f"""
+WITH enc AS (
+  SELECT {sql_apply_merges('text')} AS m FROM documents),
+chars AS (
+  SELECT unnest(list_transform(range(1, length(m) + 1),
+                               i -> substr(m, i, 1))) AS tok_char
+  FROM enc),
+mapped AS (
+  SELECT COALESCE(v.token, c.tok_char) AS token
+  FROM chars c LEFT JOIN {sql_expansion_values()}
+    ON c.tok_char = v.tok_char)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM mapped GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
+
+@query("q_text_bpe_vocab_stats", oracle=_BPE_VOCAB_ORACLE)
+def q_text_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE tokens by corpus frequency (expanded surface form):
+    the vocabulary-usage report a tokenizer owner reads to see whether
+    the learned merges match the corpus. Map-only tokenize -> explode
+    -> one count aggregation -> TakeOrdered(20)."""
+    from ..functions.bpe import encode
+
+    @F.pandas_udf("array<string>")
+    def bpe_tokens_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(encode)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(bpe_tokens_udf(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
     )
