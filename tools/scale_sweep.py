@@ -80,6 +80,26 @@ ORACLE_INFEASIBLE_AT_SCALE |= {
 }
 
 
+def _quick_probe_ms() -> float:
+    """Instantaneous host-speed reading recorded PER ROW (round 11):
+    this VM's effective CPU speed swings up to ~5x with hypervisor
+    neighbor load (measured: the bench matmul probe reading 27 ms and
+    111 ms minutes apart on an idle guest, loadavg 24 with vmstat 100%
+    idle), so a single warmup-time probe cannot certify a whole sweep.
+    A drifted row whose probe also drifted is a host window, not a plan
+    regression; a slow row with a clean probe is real. ~50 ms cost per
+    row — noise next to multi-second queries."""
+    import numpy as np
+
+    x = np.random.rand(1200, 1200)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        x @ x
+        best = min(best, time.monotonic() - t0)
+    return round(best * 1000, 1)
+
+
 def _sf_of(sf_dir: str) -> float | None:
     """Parse the scale factor out of a .../sfN[.N] directory name."""
     import re
@@ -168,67 +188,113 @@ def main() -> int:
     spark.range(32, numPartitions=32).mapInPandas(
         lambda it: it, "id long"
     ).collect()  # spin up one Python worker per core
+    # JIT warm-up for the decimal-aggregate pipeline (round 11): the
+    # first decimal-sum query in a fresh JVM pays C2 compilation of the
+    # whole-stage-codegen hash-agg loop — measured 38-60 s on q01 at
+    # sf10 after only the scan-hash warm-up above, vs 7 s when any
+    # decimal aggregate ran first. This aggregate is NOT a registry
+    # query (round-10 advice: no timed row may warm its own plan); it
+    # compiles the shared sum(decimal)/avg pipeline only.
+    li = load_table(spark, sf_dir, "lineitem")
+    li.groupBy("l_linestatus").agg(
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("s"),
+        F.avg("l_quantity").alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
     print(
         f"warmup done; shuffle_partitions={shuffle_parts} "
         f"input_gb={in_bytes / 1e9:.1f} env={json.dumps(env)}",
         flush=True,
     )
 
-    rows = {}
+    # Multi-pass timing (round 11): this host's effective CPU/IO speed
+    # swings up to ~5x with hypervisor neighbor load on a minutes
+    # timescale (per-row probes in one sweep read 13.5 ms and 107 ms),
+    # so any single-pass wall time can be a window artifact. Each pass
+    # re-times every row; a row's headline `sec` is the MIN over
+    # passes (same rationale as bench.py's min-of-mins), with all
+    # samples and their host-speed probes recorded so a reader can see
+    # which windows were dirty. Oracle checks run on pass 1 only.
+    passes = int(os.environ.get("SWEEP_PASSES", "2"))
+    rows: dict[str, dict] = {}
     failed = []
     skipped = []
-    for name in names:
-        limit = SCALE_LIMITS.get(name)
-        if (
-            limit is not None
-            and sf is not None
-            and sf > limit[0]
-            and not force_infeasible
-        ):
-            print(
-                f"  {name:34s} SKIP (scale_infeasible_above_sf="
-                f"{limit[0]:g}: {limit[1]})",
-                flush=True,
-            )
-            rows[name] = {
-                "sec": None,
-                "rows": None,
-                "ok": None,
-                "skipped": f"scale_infeasible_above_sf={limit[0]:g}",
-                "reason": limit[1],
-            }
-            skipped.append(name)
-            continue
-        try:
-            t0 = time.monotonic()
-            df = QUERIES[name](spark, sf_dir)
-            pdf = df.toPandas()
-            dt = time.monotonic() - t0
-            skip_oracle = (
-                name in ORACLE_INFEASIBLE_AT_SCALE and not oracle_all
-            )
-            if check_oracle and name in ORACLES and not skip_oracle:
-                ok, msg = compare(df, ORACLES[name], sf_dir, spark_pdf=pdf)
-                status = "PASS" if ok else f"FAIL {msg}"
-            else:
-                ok = True
-                status = (
-                    "rows-only (oracle infeasible at this SF)"
-                    if skip_oracle
-                    else "rows-only"
+    for pass_i in range(passes):
+        if passes > 1:
+            print(f"-- timing pass {pass_i + 1}/{passes}", flush=True)
+        for name in names:
+            limit = SCALE_LIMITS.get(name)
+            if (
+                limit is not None
+                and sf is not None
+                and sf > limit[0]
+                and not force_infeasible
+            ):
+                if pass_i == 0:
+                    print(
+                        f"  {name:34s} SKIP (scale_infeasible_above_sf="
+                        f"{limit[0]:g}: {limit[1]})",
+                        flush=True,
+                    )
+                    rows[name] = {
+                        "sec": None,
+                        "rows": None,
+                        "ok": None,
+                        "skipped": (
+                            f"scale_infeasible_above_sf={limit[0]:g}"
+                        ),
+                        "reason": limit[1],
+                    }
+                    skipped.append(name)
+                continue
+            if name in failed:
+                continue
+            try:
+                probe_ms = _quick_probe_ms()
+                t0 = time.monotonic()
+                df = QUERIES[name](spark, sf_dir)
+                pdf = df.toPandas()
+                dt = time.monotonic() - t0
+                skip_oracle = (
+                    name in ORACLE_INFEASIBLE_AT_SCALE and not oracle_all
                 )
-            print(
-                f"  {name:34s} {dt:8.2f}s  rows={len(pdf):>8}  {status}",
-                flush=True,
-            )
-            rows[name] = {"sec": round(dt, 2), "rows": len(pdf), "ok": ok}
-            if not ok:
-                failed.append(name)
-        except Exception:
-            print(f"  [ERROR] {name}:", flush=True)
-            traceback.print_exc()
-            failed.append(name)
-            rows[name] = {"sec": None, "rows": None, "ok": False}
+                if pass_i > 0:
+                    ok = rows[name]["ok"]
+                    status = "retimed"
+                elif check_oracle and name in ORACLES and not skip_oracle:
+                    ok, msg = compare(
+                        df, ORACLES[name], sf_dir, spark_pdf=pdf
+                    )
+                    status = "PASS" if ok else f"FAIL {msg}"
+                else:
+                    ok = True
+                    status = (
+                        "rows-only (oracle infeasible at this SF)"
+                        if skip_oracle
+                        else "rows-only"
+                    )
+                print(
+                    f"  {name:34s} {dt:8.2f}s  rows={len(pdf):>8}  "
+                    f"probe={probe_ms:5.1f}ms  {status}",
+                    flush=True,
+                )
+                r = rows.setdefault(
+                    name, {"rows": len(pdf), "secs": [], "probes_ms": []}
+                )
+                r.setdefault("secs", []).append(round(dt, 2))
+                r.setdefault("probes_ms", []).append(probe_ms)
+                r["sec"] = min(r["secs"])
+                r["ok"] = ok
+                if not ok and name not in failed:
+                    failed.append(name)
+            except Exception:
+                print(f"  [ERROR] {name}:", flush=True)
+                traceback.print_exc()
+                if name not in failed:
+                    failed.append(name)
+                rows[name] = {"sec": None, "rows": None, "ok": False}
     ran = len(names) - len(failed) - len(skipped)
     print(f"\n{ran}/{len(names) - len(skipped)} passed", end="")
     print(f" ({len(skipped)} skipped by scale policy)" if skipped else "")
@@ -244,6 +310,12 @@ def main() -> int:
                 "shuffle_partitions": shuffle_parts,
                 "input_bytes": in_bytes,
                 "skipped_by_policy": skipped,
+                "passes": passes,
+                "protocol": (
+                    "per-row sec = min over timing passes; probes_ms ="
+                    " host matmul speed right before each sample (clean"
+                    " ~14 ms; hypervisor-neighbor slow windows 50-110 ms)"
+                ),
             }
         )
     )
