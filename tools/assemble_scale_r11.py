@@ -1,0 +1,110 @@
+"""Assemble SCALE_r11.json from this round's sweep logs.
+
+Inputs: the final JSON line of each scale_sweep.py log passed on argv
+(any mix of sf10/sf30, single- or multi-pass runs). Per query and SF,
+the headline `sec` is the MIN over every sample in every run — the
+same estimator bench.py uses (min over fresh JVMs), here spanning
+independent sweep JVMs hours apart, because the hypervisor-neighbor
+windows that inflate samples cannot DEflate one. All samples and their
+host-speed probes are archived per row so the spread is inspectable.
+
+    python tools/assemble_scale_r11.py /tmp/sweep_sf10_*.log \
+        /tmp/sweep_sf30_*.log > SCALE_r11.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _samples(row: dict) -> tuple[list[float], list[float]]:
+    """(secs, probes) from a single-pass or multi-pass sweep row."""
+    if row.get("sec") is None:
+        return [], []
+    if "secs" in row:
+        return row["secs"], row.get("probes_ms", [])
+    return [row["sec"]], (
+        [row["probe_ms"]] if row.get("probe_ms") is not None else []
+    )
+
+
+def main() -> int:
+    runs = []
+    for path in sys.argv[1:]:
+        line = open(path).read().strip().splitlines()[-1]
+        runs.append((path, json.loads(line)))
+
+    by_sf: dict[str, dict] = {}
+    for path, run in runs:
+        sf_key = f"sf{run['sf']:g}"
+        agg = by_sf.setdefault(sf_key, {"queries": {}, "runs": []})
+        agg["runs"].append(
+            {
+                "log": path,
+                "env": run.get("env"),
+                "shuffle_partitions": run.get("shuffle_partitions"),
+                "passes": run.get("passes", 1),
+                "skipped_by_policy": run.get("skipped_by_policy", []),
+            }
+        )
+        for name, row in run["queries"].items():
+            q = agg["queries"].setdefault(
+                name, {"secs": [], "probes_ms": [], "rows": None}
+            )
+            if row.get("skipped"):
+                q["skipped"] = row["skipped"]
+                q["reason"] = row.get("reason")
+                continue
+            secs, probes = _samples(row)
+            q["secs"] += secs
+            q["probes_ms"] += probes
+            if row.get("rows") is not None:
+                q["rows"] = row["rows"]
+            q["ok"] = row.get("ok")
+        for name, q in agg["queries"].items():
+            if q["secs"]:
+                q["sec"] = min(q["secs"])
+
+    out: dict = {
+        "protocol": (
+            "per-(query, sf) sec = min over all samples from every sweep"
+            " run this round (independent JVMs, hours apart, 2 timing"
+            " passes each in the final runs). Rationale: the host's"
+            " effective speed swings up to ~5x with hypervisor neighbor"
+            " load (per-row matmul probes read 13.5-128 ms within single"
+            " sweeps, and clean-CPU-probe rows still show 3x wall spread"
+            " from I/O windows the probe cannot see); noise only ever"
+            " ADDS time, so the min across decorrelated windows is the"
+            " estimator. All samples + probes archived per row."
+        ),
+    }
+    for sf_key, agg in sorted(by_sf.items()):
+        out[sf_key] = agg
+
+    sf_keys = sorted(
+        by_sf, key=lambda k: float(k[2:])
+    )
+    if len(sf_keys) >= 2:
+        lo, hi = sf_keys[0], sf_keys[-1]
+        ratios = {}
+        for name, q in by_sf[hi]["queries"].items():
+            ql = by_sf[lo]["queries"].get(name)
+            if q.get("sec") and ql and ql.get("sec"):
+                ratios[name] = round(q["sec"] / ql["sec"], 2)
+        out[f"ratios_{hi}_over_{lo}"] = ratios
+        vals = sorted(ratios.values())
+        out["ratio_summary"] = {
+            "n": len(vals),
+            "median": vals[len(vals) // 2],
+            "max": vals[-1],
+            "data_ratio": float(hi[2:]) / float(lo[2:]),
+        }
+
+    json.dump(out, sys.stdout, indent=1)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
