@@ -45,6 +45,21 @@ class ConvertJobSettings(BaseModel):
     superchunk_multiple: tuple[int, int, int] = (2, 1, 1)
     tasks_per_cpu: int = 2
 
+    # Poison-pill policy for SOURCE reads (round 11). "fail" preserves
+    # the strict default: a truncated/corrupt tile fails its task, and
+    # because the decode error is deterministic, Spark's retries cannot
+    # save the stage — the job aborts. "quarantine" applies the
+    # reference's defensive-read posture (utils/utils.py:114-146 returns
+    # empty on bad JSON instead of raising) to tensor sources: a failed
+    # superchunk read yields per-shard ERROR rows in the stage stats
+    # instead of raising, the affected shards are simply not written,
+    # and absent shards read back as fill_value under the Zarr v3 spec —
+    # so the output store stays valid and every healthy byte converts.
+    # Quarantine also disables the fused pyramid cascade (deeper levels
+    # would assemble from partial coverage); the per-level loop runs
+    # instead, where a missing parent shard already degrades to fill.
+    on_corrupt: Literal["fail", "quarantine"] = "fail"
+
     @field_validator("downsample_levels")
     @classmethod
     def _levels_positive(cls, v: int) -> int:

@@ -36,6 +36,7 @@ from .format import (
 )
 from .metadata import multiscales_metadata
 from .pipeline import (
+    ERROR_SAMPLE_CAP,
     _level_specs,
     _pad_to_shard,
     _read_reduced_region,
@@ -57,7 +58,8 @@ TASK_SCHEMA = (
 
 STATS_SCHEMA = (
     "tile_path string, level int, iz int, iy int, ix int, "
-    "bytes_read long, bytes_written long, elapsed double, checksum long"
+    "bytes_read long, bytes_written long, elapsed double, checksum long, "
+    "error string"
 )
 
 #: Self-describing downsample task rows: store-routed so ONE Spark action
@@ -377,9 +379,19 @@ def build_global_tasks(
 
     rows: list[tuple] = []
     all_specs: dict[str, dict[int, ShardSpec]] = {}
+    quarantined: dict[str, str] = {}
     sm = settings.superchunk_multiple
     for src_path, store in tiles:
-        src = open_source(src_path)
+        try:
+            src = open_source(src_path)
+        except Exception as exc:  # noqa: BLE001 — quarantine boundary
+            # on_corrupt="quarantine": a tile whose metadata cannot even
+            # be probed has no task grid — record it and convert the
+            # rest (strict mode keeps the driver-side raise).
+            if settings.on_corrupt != "quarantine":
+                raise
+            quarantined[src_path] = f"open: {type(exc).__name__}: {exc}"
+            continue
         if settings.translate_pyramid:
             shapes = list(src.meta.shapes)
             source_levels = len(shapes)
@@ -461,68 +473,141 @@ def build_global_tasks(
         )
         src.close()
     tasks = spark.createDataFrame(rows, TASK_SCHEMA)
-    return tasks, all_specs
+    return tasks, all_specs, quarantined
 
 
-def _global_writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+class _GlobalWriter:
     """Self-describing writer: rebuilds the ShardSpec from task columns;
     sources cached per partition; source reads superchunk-coalesced (one
     bounding-box read per superchunk group — the superchunk key embeds
-    tile_path and level, so groups never span tiles)."""
-    sources: dict[str, object] = {}
+    tile_path and level, so groups never span tiles).
 
-    def read_fn(row, z0, z1, y0, y1, x0, x1):
-        src = sources.get(row.tile_path)
-        if src is None:
-            src = sources[row.tile_path] = open_source(row.tile_path)
-        return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+    With ``quarantine`` (settings.on_corrupt="quarantine"): a tile that
+    fails to open, or a read that fails, yields per-shard ERROR rows —
+    a poison-pill tile cannot abort the other tiles' conversion. The
+    open failure is cached per tile so a corrupt tile is probed once
+    per partition, not once per superchunk group.
 
-    for pdf in batches:
-        out = []
-        for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
-            t0 = time.monotonic()
-            spec = ShardSpec(
-                shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
-                shard_shape=(1, 1, row.shard_z, row.shard_y, row.shard_x),
-                chunk_shape=(1, 1, row.chunk_z, row.chunk_y, row.chunk_x),
-                dtype=row.dtype,
-                codec=row.codec,
-                codec_level=row.codec_level,
-                transpose_order=row.transpose or None,
-            )
-            blob = encode_shard(_pad_to_shard(block, spec), spec)
-            write_shard_file(
-                row.store, row.level, (0, 0, row.iz, row.iy, row.ix), blob
-            )
-            out.append(
-                (
-                    row.tile_path,
-                    row.level,
-                    row.iz,
-                    row.iy,
-                    row.ix,
-                    block.nbytes,
-                    len(blob),
-                    read_sec + time.monotonic() - t0,
-                    zlib_crc32(np.ascontiguousarray(block)),
+    A module-level CLASS (not a closure factory) so cloudpickle ships
+    instances by class reference + state: workers re-import this module
+    and resolve ``open_source`` at call time, instead of baking the
+    driver's globals (incl. test monkeypatches) into the pickle."""
+
+    def __init__(self, quarantine: bool = False):
+        self.quarantine = quarantine
+
+    def __call__(
+        self, batches: Iterator[pd.DataFrame]
+    ) -> Iterator[pd.DataFrame]:
+        quarantine = self.quarantine
+        sources: dict[str, object] = {}
+        last_err: dict[str, str] = {}
+
+        def read_fn(row, z0, z1, y0, y1, x0, x1):
+            src = sources.get(row.tile_path)
+            if src is None and row.tile_path not in sources:
+                try:
+                    src = sources[row.tile_path] = open_source(
+                        row.tile_path
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    if not quarantine:
+                        raise
+                    sources[row.tile_path] = None
+                    last_err[row.tile_path] = (
+                        f"open: {type(exc).__name__}: {exc}"
+                    )
+                    return None
+            if src is None:
+                return None
+            if not quarantine:
+                return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+            try:
+                return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+            except Exception as exc:  # noqa: BLE001 — quarantine
+                last_err[row.tile_path] = (
+                    f"read: {type(exc).__name__}: {exc}"
                 )
+                return None
+
+        n_err = 0
+        for pdf in batches:
+            out = []
+            for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
+                if block is None:
+                    # Message detail capped per partition (see
+                    # pipeline._run_stage); the count stays exact.
+                    n_err += 1
+                    msg = (
+                        last_err.get(row.tile_path, "read: unknown error")
+                        if n_err <= ERROR_SAMPLE_CAP
+                        else ""
+                    )
+                    out.append(
+                        (
+                            row.tile_path,
+                            row.level,
+                            row.iz,
+                            row.iy,
+                            row.ix,
+                            0,
+                            0,
+                            read_sec,
+                            None,
+                            msg,
+                        )
+                    )
+                    continue
+                t0 = time.monotonic()
+                spec = ShardSpec(
+                    shape=(1, 1, row.shape_z, row.shape_y, row.shape_x),
+                    shard_shape=(
+                        1, 1, row.shard_z, row.shard_y, row.shard_x,
+                    ),
+                    chunk_shape=(
+                        1, 1, row.chunk_z, row.chunk_y, row.chunk_x,
+                    ),
+                    dtype=row.dtype,
+                    codec=row.codec,
+                    codec_level=row.codec_level,
+                    transpose_order=row.transpose or None,
+                )
+                blob = encode_shard(_pad_to_shard(block, spec), spec)
+                write_shard_file(
+                    row.store, row.level, (0, 0, row.iz, row.iy, row.ix), blob
+                )
+                out.append(
+                    (
+                        row.tile_path,
+                        row.level,
+                        row.iz,
+                        row.iy,
+                        row.ix,
+                        block.nbytes,
+                        len(blob),
+                        read_sec + time.monotonic() - t0,
+                        zlib_crc32(np.ascontiguousarray(block)),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "tile_path",
+                    "level",
+                    "iz",
+                    "iy",
+                    "ix",
+                    "bytes_read",
+                    "bytes_written",
+                    "elapsed",
+                    "checksum",
+                    "error",
+                ],
             )
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "tile_path",
-                "level",
-                "iz",
-                "iy",
-                "ix",
-                "bytes_read",
-                "bytes_written",
-                "elapsed",
-                "checksum",
-            ],
-        )
-    for s in sources.values():
-        s.close()
+        for s in sources.values():
+            if s is not None:
+                s.close()
 
 
 def convert_tiles_to_zarr(
@@ -552,7 +637,10 @@ def convert_tiles_to_zarr(
             "partition subsetting requires translate_pyramid=True; run the "
             "compute-pyramid stage once after all partitions complete"
         )
-    tasks, all_specs = build_global_tasks(spark, tiles, settings)
+    tasks, all_specs, quarantined_tiles = build_global_tasks(
+        spark, tiles, settings
+    )
+    quarantine = settings.on_corrupt == "quarantine"
     if partition_to_process is not None and num_partitions:
         w = Window.orderBy(
             "tile_path", "level", "iz", "iy", "ix"
@@ -568,7 +656,9 @@ def convert_tiles_to_zarr(
     compute_pyramid = not settings.translate_pyramid
     group_multiples = (
         _mt_cascade_applicable(all_specs, settings)
-        if compute_pyramid
+        if compute_pyramid and not quarantine  # see pipeline: a
+        # quarantined group must degrade to fill, not to a partially
+        # assembled deeper-level shard — the level loop gives that.
         else None
     )
     if group_multiples:
@@ -642,19 +732,35 @@ def convert_tiles_to_zarr(
             "pyramid_plan": "fused_cascade",
         }
 
+    is_err = F.col("error").isNotNull()
     stats = (
         tasks.repartition(n_parts, "superchunk")
-        .mapInPandas(_global_writer, STATS_SCHEMA)
+        .mapInPandas(_GlobalWriter(quarantine), STATS_SCHEMA)
         .groupBy("tile_path")
         .agg(
-            F.count(F.lit(1)).alias("n_shards"),
+            F.count(F.when(~is_err, 1)).alias("n_shards"),
             F.sum("bytes_read").alias("bytes_read"),
             F.sum("bytes_written").alias("bytes_written"),
             F.sum("elapsed").alias("task_seconds"),
+            F.count(F.when(is_err, 1)).alias("n_errors"),
+            F.slice(
+                F.collect_list(
+                    F.when(
+                        is_err & (F.length("error") > 0),
+                        F.struct("level", "iz", "iy", "ix", "error"),
+                    )
+                ),
+                1,
+                ERROR_SAMPLE_CAP,
+            ).alias("error_samples"),
         )
         .collect()
     )
     per_tile = {r["tile_path"]: r.asDict() for r in stats}
+    for t in per_tile.values():
+        t["error_samples"] = [
+            e.asDict() for e in t.get("error_samples") or []
+        ]
     result = {
         "n_tiles": len(tiles),
         "n_shards": sum(r["n_shards"] for r in per_tile.values()),
@@ -662,6 +768,10 @@ def convert_tiles_to_zarr(
         "bytes_written": sum(r["bytes_written"] for r in per_tile.values()),
         "tiles": per_tile,
     }
+    n_errors = sum(r["n_errors"] or 0 for r in per_tile.values())
+    if quarantine or n_errors or quarantined_tiles:
+        result["n_errors"] = n_errors
+        result["quarantined_tiles"] = quarantined_tiles
 
     if compute_pyramid:
         # Fallback when no window-aligned cascade group fits the memory
@@ -696,7 +806,9 @@ def _build_downsample_tasks(
     sm = settings.superchunk_multiple
     rows: list[tuple] = []
     for _src_path, store in tiles:
-        specs = all_specs[_src_path]
+        specs = all_specs.get(_src_path)
+        if specs is None:  # tile quarantined at the driver probe
+            continue
         if lvl not in specs:
             continue
         shape = specs[lvl].shape[2:]
@@ -817,6 +929,7 @@ def _make_global_downsample_writer(
                         len(blob),
                         time.monotonic() - t0,
                         zlib_crc32(np.ascontiguousarray(block)),
+                        None,
                     )
                 )
             yield pd.DataFrame(
@@ -831,6 +944,7 @@ def _make_global_downsample_writer(
                     "bytes_written",
                     "elapsed",
                     "checksum",
+                    "error",
                 ],
             )
 

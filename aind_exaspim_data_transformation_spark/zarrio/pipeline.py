@@ -59,8 +59,13 @@ from .metadata import multiscales_metadata
 
 STATS_SCHEMA = (
     "level int, iz int, iy int, ix int, "
-    "bytes_read long, bytes_written long, elapsed double, checksum long"
+    "bytes_read long, bytes_written long, elapsed double, checksum long, "
+    "error string"
 )
+
+#: Cap on quarantined-shard detail rows carried to the driver: enough
+#: to locate the corrupt region(s); the full count is always exact.
+ERROR_SAMPLE_CAP = 20
 
 def _pack_payload(raw: bytes) -> bytes:
     """Wire compression for cascade partials: reduced voxels shuffle
@@ -202,6 +207,10 @@ def iter_coalesced_reads(pdf: pd.DataFrame, read_fn):
                 t0 = time.monotonic()
                 region = read_fn(rows[0], bz0, bz1, by0, by1, bx0, bx1)
                 per_row = (time.monotonic() - t0) / len(rows)
+                if region is None:  # quarantined read: see _make_copy_writer
+                    for r in rows:
+                        yield r, None, per_row
+                    continue
                 for r in rows:
                     yield (
                         r,
@@ -219,24 +228,77 @@ def iter_coalesced_reads(pdf: pd.DataFrame, read_fn):
             yield r, block, time.monotonic() - t0
 
 
-def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec]):
+def _make_copy_writer(
+    source_path: str,
+    store: str,
+    specs: dict[int, ShardSpec],
+    quarantine: bool = False,
+):
     """Writer UDF for the translate/level-0 path: superchunk-coalesced
     hyperslab read from the source at the task's level, pad, encode,
     write. Arrow-batched; the source is opened once per partition
     (reference re-opens per task, compress/imaris_to_zarr.py:434 —
     per-partition is strictly cheaper). Rows are repartitioned by
     superchunk upstream, so each group's single bounding-box read
-    (iter_coalesced_reads) serves every shard in the group."""
+    (iter_coalesced_reads) serves every shard in the group.
+
+    With ``quarantine`` (settings.on_corrupt="quarantine"): a failed
+    open or read emits per-shard ERROR rows instead of raising — the
+    shard is not written and reads back as fill_value. Only the SOURCE
+    side is defensive; encode/store-write errors still raise (they are
+    transient-environment failures where Spark's retry is the right
+    tool, not deterministic poison pills)."""
 
     def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        src = open_source(source_path)
+        last_err: list[str | None] = [None]
+        try:
+            src = open_source(source_path)
+        except Exception as exc:  # noqa: BLE001 — quarantine boundary
+            if not quarantine:
+                raise
+            src = None
+            last_err[0] = f"open: {type(exc).__name__}: {exc}"
 
         def read_fn(row, z0, z1, y0, y1, x0, x1):
-            return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+            if src is None:
+                return None
+            if not quarantine:
+                return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+            try:
+                return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
+            except Exception as exc:  # noqa: BLE001 — quarantine boundary
+                last_err[0] = f"read: {type(exc).__name__}: {exc}"
+                return None
 
+        n_err = 0
         for pdf in batches:
             out = []
             for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
+                if block is None:
+                    # Detail message only for the first ERROR_SAMPLE_CAP
+                    # errors per partition (empty-but-non-null beyond):
+                    # keeps the sample agg's executor buffers bounded on
+                    # a fully corrupt source while the COUNT stays exact.
+                    n_err += 1
+                    msg = (
+                        (last_err[0] or "read: unknown error")
+                        if n_err <= ERROR_SAMPLE_CAP
+                        else ""
+                    )
+                    out.append(
+                        (
+                            row.level,
+                            row.iz,
+                            row.iy,
+                            row.ix,
+                            0,
+                            0,
+                            read_sec,
+                            None,
+                            msg,
+                        )
+                    )
+                    continue
                 t0 = time.monotonic()
                 spec = specs[row.level]
                 blob = encode_shard(_pad_to_shard(block, spec), spec)
@@ -253,6 +315,7 @@ def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec])
                         len(blob),
                         read_sec + time.monotonic() - t0,
                         zlib_crc32(np.ascontiguousarray(block)),
+                        None,
                     )
                 )
             yield pd.DataFrame(
@@ -266,9 +329,11 @@ def _make_copy_writer(source_path: str, store: str, specs: dict[int, ShardSpec])
                     "bytes_written",
                     "elapsed",
                     "checksum",
+                    "error",
                 ],
             )
-        src.close()
+        if src is not None:
+            src.close()
 
     return writer
 
@@ -429,6 +494,7 @@ def _make_downsample_writer(
                         len(blob),
                         time.monotonic() - t0,
                         zlib_crc32(np.ascontiguousarray(block)),
+                        None,
                     )
                 )
             yield pd.DataFrame(
@@ -442,6 +508,7 @@ def _make_downsample_writer(
                     "bytes_written",
                     "elapsed",
                     "checksum",
+                    "error",
                 ],
             )
 
@@ -455,18 +522,39 @@ def _run_stage(
     n_partitions: int,
     partition_cols: tuple[str, ...] = ("superchunk",),
 ) -> dict:
+    """One action: write shards, aggregate stats. ``n_shards`` counts
+    WRITTEN shards; quarantined rows (error != null, on_corrupt=
+    "quarantine") are tallied in ``n_errors`` with up to
+    ``ERROR_SAMPLE_CAP`` locator samples — a bounded driver footprint
+    no matter how corrupt the source."""
+    is_err = F.col("error").isNotNull()
     stats = (
         tasks.repartition(n_partitions, *partition_cols)
         .mapInPandas(writer, STATS_SCHEMA)
         .agg(
-            F.count(F.lit(1)).alias("n_shards"),
+            F.count(F.when(~is_err, 1)).alias("n_shards"),
             F.sum("bytes_read").alias("bytes_read"),
             F.sum("bytes_written").alias("bytes_written"),
             F.sum("elapsed").alias("task_seconds"),
+            F.count(F.when(is_err, 1)).alias("n_errors"),
+            # Writers blank the message past ERROR_SAMPLE_CAP errors per
+            # partition, so this list is bounded executor-side too.
+            F.slice(
+                F.collect_list(
+                    F.when(
+                        is_err & (F.length("error") > 0),
+                        F.struct("level", "iz", "iy", "ix", "error"),
+                    )
+                ),
+                1,
+                ERROR_SAMPLE_CAP,
+            ).alias("error_samples"),
         )
         .collect()[0]
     )
-    return stats.asDict()
+    out = stats.asDict()
+    out["error_samples"] = [r.asDict() for r in out["error_samples"] or []]
+    return out
 
 
 def convert_to_zarr(
@@ -495,12 +583,20 @@ def convert_to_zarr(
     n_parts = max(
         spark.sparkContext.defaultParallelism * settings.tasks_per_cpu, 1
     )
+    quarantine = settings.on_corrupt == "quarantine"
     compute_pyramid = not settings.translate_pyramid and n_levels > 1
     pyramid_plan = None
     if compute_pyramid:
         gm = cascade_group_multiple(
             specs, factor, n_levels, settings.superchunk_multiple
         )
+        # Quarantine mode forces the per-level loop: the fused cascade
+        # assembles deeper-level shards from level-0 partials, so a
+        # quarantined group would bake PARTIAL coverage into a written
+        # shard. The loop reads parents back from the store, where a
+        # missing (quarantined) shard already degrades to fill_value.
+        if quarantine:
+            gm = None
         pyramid_plan = "level_loop" if gm is None else "fused_cascade"
     if pyramid_plan == "fused_cascade":
         # Fused cascade: the whole pyramid is ONE job — level-0 writes
@@ -539,7 +635,9 @@ def convert_to_zarr(
             _run_stage(
                 spark,
                 tasks,
-                _make_copy_writer(settings.input_source, store, specs),
+                _make_copy_writer(
+                    settings.input_source, store, specs, quarantine
+                ),
                 n_parts,
             )
         ]
@@ -604,6 +702,9 @@ def convert_to_zarr(
         "stages": stages,
         "store": store,
     }
+    n_errors = sum(s.get("n_errors") or 0 for s in stages)
+    if quarantine or n_errors:
+        result["n_errors"] = n_errors
     if pyramid_plan is not None:
         # Explicit plan-choice record: which pyramid strategy ran, so a
         # user on the slow path sees it in the stats, not just the log.

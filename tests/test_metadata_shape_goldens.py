@@ -50,7 +50,7 @@ def _tasks(spark, tmp_path, monkeypatch, shapes_by_tile, shard):
         (p, str(tmp_path / f"{i}.zarr"))
         for i, p in enumerate(shapes_by_tile)
     ]
-    tasks, _specs = multitile.build_global_tasks(
+    tasks, _specs, _quarantined = multitile.build_global_tasks(
         spark, tiles, _settings(tmp_path, shard)
     )
     return tasks.toPandas()
