@@ -199,3 +199,39 @@ def test_multitile_quarantine_isolates_poison_tiles(spark, tmp_path):
         spec0,
     )[0, 0]
     assert (full == arr).all()
+
+
+def test_streaming_ingest_quarantines_poison_manifest(spark, tmp_path):
+    """A corrupt tile arriving on the manifest stream must not kill the
+    stream: with on_corrupt="quarantine" the batch completes, the bad
+    tile is recorded, and the healthy tile in the same micro-batch
+    converts (settings flow through run_ingest -> convert_tiles_to_zarr
+    unchanged)."""
+    from aind_exaspim_data_transformation_spark.streaming.ingest import (
+        run_ingest,
+    )
+
+    manifest_dir = tmp_path / "manifests"
+    manifest_dir.mkdir()
+    out_root = str(tmp_path / "stores")
+
+    good = tmp_path / "tile_good.ims"
+    arr = _make_tile(good, seed=11)
+    bad = tmp_path / "tile_bad.ims"
+    bad.write_bytes(b"\x00garbage" * 64)
+    (manifest_dir / "a.manifest").write_text(f"{good}\n{bad}\n")
+
+    settings = _settings(good, tmp_path / "unused.zarr").model_copy(
+        update={"on_corrupt": "quarantine"}
+    )
+    results = run_ingest(spark, str(manifest_dir), out_root, settings)
+    assert len(results) == 1
+    assert str(bad) in results[0]["quarantined_tiles"]
+    spec0 = read_array_metadata(f"{out_root}/tile_good.zarr", 0)
+    full = read_array_region(
+        f"{out_root}/tile_good.zarr",
+        0,
+        (slice(0, 1), slice(0, 1), slice(0, 32), slice(0, 32), slice(0, 32)),
+        spec0,
+    )[0, 0]
+    assert (full == arr).all()
