@@ -43,6 +43,7 @@ from .pipeline import (
     _split_rows,
     _unpack_payload,
     iter_coalesced_reads,
+    stage_agg_exprs,
 )
 
 TASK_SCHEMA = (
@@ -369,12 +370,14 @@ def build_global_tasks(
     spark: SparkSession,
     tiles: list[tuple[str, str]],
     settings: ConvertJobSettings,
-) -> tuple[DataFrame, dict[str, dict[int, ShardSpec]]]:
+) -> tuple[DataFrame, dict[str, dict[int, ShardSpec]], dict[str, str]]:
     """Probe every tile driver-side, create its stores, and emit the
     global task rows (source-readable levels only: every level in
     translate mode, level 0 in compute mode — computed levels run as
     per-level downsample stages afterwards).
-    Returns (tasks DF, specs per tile)."""
+    Returns (tasks DF, specs per tile, quarantined tiles). The third
+    map is empty unless on_corrupt="quarantine" skipped tiles whose
+    open OR metadata probe failed driver-side."""
     from ..operators.downsample import downsampled_shape
 
     rows: list[tuple] = []
@@ -383,26 +386,27 @@ def build_global_tasks(
     sm = settings.superchunk_multiple
     for src_path, store in tiles:
         try:
+            # The whole metadata probe sits inside the quarantine
+            # boundary: a tile can open (intact superblock) yet raise on
+            # shape/dtype/extent attributes — either way there is no
+            # task grid to build, so the tile is skipped, not the job.
             src = open_source(src_path)
+            if settings.translate_pyramid:
+                shapes = list(src.meta.shapes)
+                source_levels = len(shapes)
+            else:
+                shapes = [src.meta.shapes[0]]
+                for _ in range(1, settings.downsample_levels):
+                    shapes.append(
+                        downsampled_shape(shapes[-1], settings.scale_factor)
+                    )
+                source_levels = 1
+            specs = _level_specs(settings, shapes, src.meta.dtype)
         except Exception as exc:  # noqa: BLE001 — quarantine boundary
-            # on_corrupt="quarantine": a tile whose metadata cannot even
-            # be probed has no task grid — record it and convert the
-            # rest (strict mode keeps the driver-side raise).
             if settings.on_corrupt != "quarantine":
                 raise
             quarantined[src_path] = f"open: {type(exc).__name__}: {exc}"
             continue
-        if settings.translate_pyramid:
-            shapes = list(src.meta.shapes)
-            source_levels = len(shapes)
-        else:
-            shapes = [src.meta.shapes[0]]
-            for _ in range(1, settings.downsample_levels):
-                shapes.append(
-                    downsampled_shape(shapes[-1], settings.scale_factor)
-                )
-            source_levels = 1
-        specs = _level_specs(settings, shapes, src.meta.dtype)
         all_specs[src_path] = specs
         # Compute-pyramid tiles group by the window-aligned cascade
         # grid (pipeline.cascade_group_multiple — identical to the
@@ -504,12 +508,9 @@ class _GlobalWriter:
         last_err: dict[str, str] = {}
 
         def read_fn(row, z0, z1, y0, y1, x0, x1):
-            src = sources.get(row.tile_path)
-            if src is None and row.tile_path not in sources:
+            if row.tile_path not in sources:
                 try:
-                    src = sources[row.tile_path] = open_source(
-                        row.tile_path
-                    )
+                    sources[row.tile_path] = open_source(row.tile_path)
                 except Exception as exc:  # noqa: BLE001 — quarantine
                     if not quarantine:
                         raise
@@ -518,7 +519,8 @@ class _GlobalWriter:
                         f"open: {type(exc).__name__}: {exc}"
                     )
                     return None
-            if src is None:
+            src = sources[row.tile_path]
+            if src is None:  # cached open failure for this tile
                 return None
             if not quarantine:
                 return src.read_block(row.level, z0, z1, y0, y1, x0, x1)
@@ -530,17 +532,21 @@ class _GlobalWriter:
                 )
                 return None
 
-        n_err = 0
+        n_err: dict[str, int] = {}
         for pdf in batches:
             out = []
             for row, block, read_sec in iter_coalesced_reads(pdf, read_fn):
                 if block is None:
-                    # Message detail capped per partition (see
-                    # pipeline._run_stage); the count stays exact.
-                    n_err += 1
+                    # Message detail capped PER TILE (the final agg also
+                    # groups by tile_path) so one fully-corrupt tile
+                    # cannot blank another tile's locator samples; the
+                    # count stays exact regardless.
+                    n = n_err[row.tile_path] = (
+                        n_err.get(row.tile_path, 0) + 1
+                    )
                     msg = (
                         last_err.get(row.tile_path, "read: unknown error")
-                        if n_err <= ERROR_SAMPLE_CAP
+                        if n <= ERROR_SAMPLE_CAP
                         else ""
                     )
                     out.append(
@@ -732,28 +738,11 @@ def convert_tiles_to_zarr(
             "pyramid_plan": "fused_cascade",
         }
 
-    is_err = F.col("error").isNotNull()
     stats = (
         tasks.repartition(n_parts, "superchunk")
         .mapInPandas(_GlobalWriter(quarantine), STATS_SCHEMA)
         .groupBy("tile_path")
-        .agg(
-            F.count(F.when(~is_err, 1)).alias("n_shards"),
-            F.sum("bytes_read").alias("bytes_read"),
-            F.sum("bytes_written").alias("bytes_written"),
-            F.sum("elapsed").alias("task_seconds"),
-            F.count(F.when(is_err, 1)).alias("n_errors"),
-            F.slice(
-                F.collect_list(
-                    F.when(
-                        is_err & (F.length("error") > 0),
-                        F.struct("level", "iz", "iy", "ix", "error"),
-                    )
-                ),
-                1,
-                ERROR_SAMPLE_CAP,
-            ).alias("error_samples"),
-        )
+        .agg(*stage_agg_exprs())
         .collect()
     )
     per_tile = {r["tile_path"]: r.asDict() for r in stats}

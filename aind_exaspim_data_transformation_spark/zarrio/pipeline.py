@@ -207,21 +207,24 @@ def iter_coalesced_reads(pdf: pd.DataFrame, read_fn):
                 t0 = time.monotonic()
                 region = read_fn(rows[0], bz0, bz1, by0, by1, bx0, bx1)
                 per_row = (time.monotonic() - t0) / len(rows)
-                if region is None:  # quarantined read: see _make_copy_writer
+                if region is not None:
                     for r in rows:
-                        yield r, None, per_row
+                        yield (
+                            r,
+                            region[
+                                r.z0 - bz0 : r.z1 - bz0,
+                                r.y0 - by0 : r.y1 - by0,
+                                r.x0 - bx0 : r.x1 - bx0,
+                            ],
+                            per_row,
+                        )
                     continue
-                for r in rows:
-                    yield (
-                        r,
-                        region[
-                            r.z0 - bz0 : r.z1 - bz0,
-                            r.y0 - by0 : r.y1 - by0,
-                            r.x0 - bx0 : r.x1 - bx0,
-                        ],
-                        per_row,
-                    )
-                continue
+                # Quarantined group read (read_fn returned None, see
+                # _make_copy_writer): the corruption may touch only part
+                # of the bounding box, so fall through to PER-ROW reads
+                # — only shards whose own voxels are broken quarantine,
+                # keeping the "every healthy byte converts" contract at
+                # shard granularity, not superchunk granularity.
         for r in rows:
             t0 = time.monotonic()
             block = read_fn(r, r.z0, r.z1, r.y0, r.y1, r.x0, r.x1)
@@ -515,6 +518,34 @@ def _make_downsample_writer(
     return writer
 
 
+def stage_agg_exprs() -> list:
+    """The stage-stats aggregation, shared by every writer agg (single
+    and multi-tile) so the error-row protocol — ``n_shards`` counts
+    WRITTEN shards, quarantined rows tally in ``n_errors``, and the
+    locator-sample list honors the writers' blank-message cap (messages
+    past ``ERROR_SAMPLE_CAP`` per partition/tile arrive empty, keeping
+    executor agg buffers bounded on a fully corrupt source) — cannot
+    drift between call sites."""
+    is_err = F.col("error").isNotNull()
+    return [
+        F.count(F.when(~is_err, 1)).alias("n_shards"),
+        F.sum("bytes_read").alias("bytes_read"),
+        F.sum("bytes_written").alias("bytes_written"),
+        F.sum("elapsed").alias("task_seconds"),
+        F.count(F.when(is_err, 1)).alias("n_errors"),
+        F.slice(
+            F.collect_list(
+                F.when(
+                    is_err & (F.length("error") > 0),
+                    F.struct("level", "iz", "iy", "ix", "error"),
+                )
+            ),
+            1,
+            ERROR_SAMPLE_CAP,
+        ).alias("error_samples"),
+    ]
+
+
 def _run_stage(
     spark: SparkSession,
     tasks: DataFrame,
@@ -522,34 +553,12 @@ def _run_stage(
     n_partitions: int,
     partition_cols: tuple[str, ...] = ("superchunk",),
 ) -> dict:
-    """One action: write shards, aggregate stats. ``n_shards`` counts
-    WRITTEN shards; quarantined rows (error != null, on_corrupt=
-    "quarantine") are tallied in ``n_errors`` with up to
-    ``ERROR_SAMPLE_CAP`` locator samples — a bounded driver footprint
-    no matter how corrupt the source."""
-    is_err = F.col("error").isNotNull()
+    """One action: write shards, aggregate stats (see
+    ``stage_agg_exprs`` for the error-row accounting)."""
     stats = (
         tasks.repartition(n_partitions, *partition_cols)
         .mapInPandas(writer, STATS_SCHEMA)
-        .agg(
-            F.count(F.when(~is_err, 1)).alias("n_shards"),
-            F.sum("bytes_read").alias("bytes_read"),
-            F.sum("bytes_written").alias("bytes_written"),
-            F.sum("elapsed").alias("task_seconds"),
-            F.count(F.when(is_err, 1)).alias("n_errors"),
-            # Writers blank the message past ERROR_SAMPLE_CAP errors per
-            # partition, so this list is bounded executor-side too.
-            F.slice(
-                F.collect_list(
-                    F.when(
-                        is_err & (F.length("error") > 0),
-                        F.struct("level", "iz", "iy", "ix", "error"),
-                    )
-                ),
-                1,
-                ERROR_SAMPLE_CAP,
-            ).alias("error_samples"),
-        )
+        .agg(*stage_agg_exprs())
         .collect()[0]
     )
     out = stats.asDict()

@@ -147,6 +147,14 @@ def test_quarantine_converts_every_healthy_shard(spark, tmp_path):
     assert quarantined_voxels.any()
     assert (full[quarantined_voxels] == spec0.fill_value).all()
     assert (full == arr).any(), "healthy voxels must round-trip"
+    # Shard granularity, not superchunk granularity: a failed group
+    # read falls back to per-row reads, so ONLY the 16^3 shard owning
+    # the corrupt 8^3 chunk is withheld — its superchunk partner and
+    # every other shard must carry real voxels.
+    assert len([k for k in missing if k.startswith("0/")]) == 1
+    assert not quarantined_voxels[16:, :, :].any()
+    assert not quarantined_voxels[:, 16:, :].any()
+    assert not quarantined_voxels[:, :, 16:].any()
 
     # Deterministic + idempotent: re-running the quarantine job yields
     # byte-identical outputs and the same error count.

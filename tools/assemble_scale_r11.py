@@ -61,7 +61,15 @@ def main() -> int:
             q["probes_ms"] += probes
             if row.get("rows") is not None:
                 q["rows"] = row["rows"]
-            q["ok"] = row.get("ok")
+            # ok = AND over runs that expressed a verdict: a later
+            # timing-only (rows-only) run must not mask an earlier
+            # oracle FAIL.
+            if row.get("ok") is not None:
+                q["ok"] = (
+                    row["ok"]
+                    if q.get("ok") is None
+                    else (q["ok"] and row["ok"])
+                )
         for name, q in agg["queries"].items():
             if q["secs"]:
                 q["sec"] = min(q["secs"])
@@ -94,12 +102,15 @@ def main() -> int:
                 ratios[name] = round(q["sec"] / ql["sec"], 2)
         out[f"ratios_{hi}_over_{lo}"] = ratios
         vals = sorted(ratios.values())
-        out["ratio_summary"] = {
-            "n": len(vals),
-            "median": vals[len(vals) // 2],
-            "max": vals[-1],
-            "data_ratio": float(hi[2:]) / float(lo[2:]),
-        }
+        if vals:
+            import statistics
+
+            out["ratio_summary"] = {
+                "n": len(vals),
+                "median": round(statistics.median(vals), 2),
+                "max": vals[-1],
+                "data_ratio": float(hi[2:]) / float(lo[2:]),
+            }
 
     json.dump(out, sys.stdout, indent=1)
     print()

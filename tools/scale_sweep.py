@@ -188,19 +188,22 @@ def main() -> int:
     spark.range(32, numPartitions=32).mapInPandas(
         lambda it: it, "id long"
     ).collect()  # spin up one Python worker per core
-    # JIT warm-up for the decimal-aggregate pipeline (round 11): the
+    # JIT warm-up for decimal-aggregate infrastructure (round 11): the
     # first decimal-sum query in a fresh JVM pays C2 compilation of the
-    # whole-stage-codegen hash-agg loop — measured 38-60 s on q01 at
-    # sf10 after only the scan-hash warm-up above, vs 7 s when any
-    # decimal aggregate ran first. This aggregate is NOT a registry
-    # query (round-10 advice: no timed row may warm its own plan); it
-    # compiles the shared sum(decimal)/avg pipeline only.
+    # shared Decimal/UnsafeRow/hash-agg machinery — measured 38-60 s on
+    # q01 at sf10 after only the scan-hash warm-up above, vs 7 s when
+    # any decimal aggregate ran first. Whole-stage codegen is compiled
+    # PER PLAN, so every timed query still compiles (and JITs) its own
+    # generated class; what this warms is the JVM-level substrate all
+    # decimal aggregates share. Deliberately NOT a registry query, and
+    # shaped unlike any timed row (different group key and aggregate
+    # mix) so no single query's plan gets preferential treatment.
     li = load_table(spark, sf_dir, "lineitem")
-    li.groupBy("l_linestatus").agg(
+    li.where(F.col("l_orderkey") % 3 == 0).groupBy("l_linenumber").agg(
         F.sum(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            F.col("l_extendedprice") * (F.col("l_tax") - F.lit(0.5))
         ).alias("s"),
-        F.avg("l_quantity").alias("a"),
+        F.avg(F.col("l_discount") * F.col("l_quantity")).alias("a"),
         F.count(F.lit(1)).alias("n"),
     ).collect()
     print(
@@ -294,7 +297,12 @@ def main() -> int:
                 traceback.print_exc()
                 if name not in failed:
                     failed.append(name)
-                rows[name] = {"sec": None, "rows": None, "ok": False}
+                # Keep any earlier pass's valid samples — a transient
+                # failure on a retime pass must not erase an
+                # oracle-verified pass-1 timing; only mark the row.
+                r = rows.setdefault(name, {"sec": None, "rows": None})
+                r["ok"] = False
+                r.setdefault("pass_errors", []).append(pass_i + 1)
     ran = len(names) - len(failed) - len(skipped)
     print(f"\n{ran}/{len(names) - len(skipped)} passed", end="")
     print(f" ({len(skipped)} skipped by scale policy)" if skipped else "")
