@@ -385,6 +385,7 @@ def build_global_tasks(
     quarantined: dict[str, str] = {}
     sm = settings.superchunk_multiple
     for src_path, store in tiles:
+        src = None
         try:
             # The whole metadata probe sits inside the quarantine
             # boundary: a tile can open (intact superblock) yet raise on
@@ -405,6 +406,13 @@ def build_global_tasks(
         except Exception as exc:  # noqa: BLE001 — quarantine boundary
             if settings.on_corrupt != "quarantine":
                 raise
+            # open may succeed and a later probe raise — close the
+            # handle so a quarantined tile doesn't leak a driver fd.
+            if src is not None:
+                try:
+                    src.close()
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
             quarantined[src_path] = f"open: {type(exc).__name__}: {exc}"
             continue
         all_specs[src_path] = specs
@@ -727,7 +735,11 @@ def convert_tiles_to_zarr(
             key=lambda d: d["level"],
         )
         return {
-            "n_tiles": len(tiles),
+            # n_tiles counts CONVERTED tiles — it must agree with the
+            # per-tile map a consumer iterates; driver-quarantined
+            # tiles are reported separately via n_quarantined_tiles.
+            "n_tiles": len(tiles) - len(quarantined_tiles),
+            "n_quarantined_tiles": len(quarantined_tiles),
             "n_shards": sum(r["n_shards"] for r in per_tile.values()),
             "bytes_read": sum(r["bytes_read"] for r in per_tile.values()),
             "bytes_written": sum(
@@ -751,7 +763,10 @@ def convert_tiles_to_zarr(
             e.asDict() for e in t.get("error_samples") or []
         ]
     result = {
-        "n_tiles": len(tiles),
+        # Converted tiles only (matches result["tiles"]); quarantined
+        # tiles are counted in n_quarantined_tiles below.
+        "n_tiles": len(tiles) - len(quarantined_tiles),
+        "n_quarantined_tiles": len(quarantined_tiles),
         "n_shards": sum(r["n_shards"] for r in per_tile.values()),
         "bytes_read": sum(r["bytes_read"] for r in per_tile.values()),
         "bytes_written": sum(r["bytes_written"] for r in per_tile.values()),

@@ -295,13 +295,16 @@ def main() -> int:
             except Exception:
                 print(f"  [ERROR] {name}:", flush=True)
                 traceback.print_exc()
-                if name not in failed:
-                    failed.append(name)
-                # Keep any earlier pass's valid samples — a transient
-                # failure on a retime pass must not erase an
-                # oracle-verified pass-1 timing; only mark the row.
+                # Keep any earlier pass's valid samples AND verdict — a
+                # transient failure on a retime pass must not erase an
+                # oracle-verified pass-1 result (the assembler ANDs
+                # `ok` over runs); only a pass-1 failure marks the row
+                # failed / ok=False.
                 r = rows.setdefault(name, {"sec": None, "rows": None})
-                r["ok"] = False
+                if pass_i == 0 or "ok" not in r:
+                    r["ok"] = False
+                    if name not in failed:
+                        failed.append(name)
                 r.setdefault("pass_errors", []).append(pass_i + 1)
     ran = len(names) - len(failed) - len(skipped)
     print(f"\n{ran}/{len(names) - len(skipped)} passed", end="")
