@@ -9,6 +9,7 @@ Import side effects register the queries; keep the module list exhaustive.
 
 from . import (  # noqa: F401  (import for registration side effects)
     behavior_q,
+    bpe32k_q,
     bpe_q,
     convert_q,
     dataprep_q,

@@ -75,6 +75,16 @@ SHUFFLE_HEAVY = [
 # verified bit-identical at sf0.01-sf1. The built-in skip set is now
 # EMPTY; SWEEP_SKIP_ORACLE remains as an escape hatch for ad-hoc runs.
 ORACLE_INFEASIBLE_AT_SCALE: set[str] = set()
+# Round 12 re-opens the set for exactly one row, by design rather than
+# by gap: q_text_bpe32k_tokens' oracle is the exact 32,768-step replace
+# fold — O(vocab x corpus), affordable at the sf0.01 driver gate,
+# quadratic-in-vocab at sweep SF, while the ENGINE side is the
+# linear-time heap encoder (that asymmetry is the point of the query).
+# Sweep-scale exactness for the 32k path is carried instead by
+# q_text_bpe32k_roundtrip (md5 detokenize-identity, cheap at any SF)
+# and q_text_bpe32k_prefix512 (fold oracle over 512 ranks, the same
+# cost class as the sf30-proven 256-merge fold).
+ORACLE_INFEASIBLE_AT_SCALE.add("q_text_bpe32k_tokens")
 ORACLE_INFEASIBLE_AT_SCALE |= {
     n for n in os.environ.get("SWEEP_SKIP_ORACLE", "").split(",") if n
 }
