@@ -67,6 +67,9 @@ def test_ivf_recall(spark, sim_matrix):
 def test_pq_recall(spark, sim_matrix):
     # Round-6 retune (K=64 codebook, ADC shortlist 100 + exact rerank):
     # measured 1.0 on the 3 query vectors, 0.93 over 50 (numpy sim).
+    # Round-12 (k-means-TRAINED codebooks, 2 deterministic Lloyd
+    # rounds): still 1.0 on the 3 query vectors; the 50-query numpy
+    # simulation improves 0.927 -> 0.980 vs the first-K init.
     assert _recall_at_3(spark, sim_matrix, "q_ann_pq", 3) >= 0.8
 
 
