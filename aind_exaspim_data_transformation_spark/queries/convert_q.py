@@ -188,3 +188,149 @@ def q_ims_chunked_roundtrip_voxelsum(
         .load()
     )
     return _shard_sums(blocks)
+
+
+_QN = 48  # quarantine fixture: 48³ volume, 16³ shards, 8³ HDF5 chunks
+_QSHARD = 16
+_QCHUNK = 8
+
+_QUARANTINE_ORACLE = f"""
+WITH zc AS (SELECT unnest(range(0, {_QN})) AS z),
+coords AS (
+  SELECT z.z, y.y, x.x,
+    ((z.z * {_QN} + y.y) * {_QN} + x.x) % 65536 AS val
+  FROM zc z
+  CROSS JOIN (SELECT unnest(range(0, {_QN})) AS y) y
+  CROSS JOIN (SELECT unnest(range(0, {_QN})) AS x) x)
+SELECT iz, iy, ix,
+  CAST(CASE WHEN iz = 0 AND iy = 0 AND ix = 0 THEN 0
+       ELSE voxel_sum END AS BIGINT) AS voxel_sum,
+  n_voxels,
+  CAST(1 AS BIGINT) AS job_errors
+FROM (
+  SELECT z // {_QSHARD} AS iz, y // {_QSHARD} AS iy, x // {_QSHARD} AS ix,
+    SUM(val) AS voxel_sum, COUNT(*) AS n_voxels
+  FROM coords GROUP BY 1, 2, 3)
+"""
+
+
+@query("q_zarr_roundtrip_quarantine", oracle=_QUARANTINE_ORACLE)
+def q_zarr_roundtrip_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quarantined CONVERSION under the oracle gate (round-11 verdict,
+    Next #7 — 11b covered media decode, 11i was pytest-only): one HDF5
+    chunk's compressed payload is corrupted in place (metadata intact —
+    the shape of real partial-write corruption), the pipeline runs with
+    ``on_corrupt="quarantine"``, and the query reads EVERY shard region
+    back through the fill-aware reader. The oracle pins all three
+    telemetry facts independently: healthy shards carry the exact
+    closed-form voxel sums (byte-identical conversion, untouched by the
+    poison pill), the one shard owning the corrupt chunk reads back as
+    all-fill_value zeros (shard granularity — not its superchunk, not
+    the job), and the job reports exactly one error row."""
+    import zlib
+
+    from ..sources.tensor import write_imaris_file
+    from ..zarrio.format import read_array_metadata, read_array_region
+
+    base = os.path.join(tempfile.gettempdir(), "zarr_oracle_quarantine")
+    ims = os.path.join(base, "tile_q.ims")
+    store = os.path.join(base, "roundtrip.zarr")
+    os.makedirs(base, exist_ok=True)
+    zz, yy, xx = np.meshgrid(
+        np.arange(_QN, dtype=np.int64),
+        np.arange(_QN, dtype=np.int64),
+        np.arange(_QN, dtype=np.int64),
+        indexing="ij",
+    )
+    arr = (((zz * _QN + yy) * _QN + xx) % 65536).astype(np.uint16)
+    # Rebuilt (deterministically) on every run: the corruption step
+    # must apply to a fresh file, not compound on a prior run's bytes.
+    write_imaris_file(
+        ims, [arr], chunks=(_QCHUNK,) * 3, compression="gzip"
+    )
+    payload = zlib.compress(
+        np.ascontiguousarray(
+            arr[:_QCHUNK, :_QCHUNK, :_QCHUNK]
+        ).tobytes(order="C"),
+        4,
+    )
+    data = bytearray(open(ims, "rb").read())
+    idx = data.find(payload)
+    if idx <= 0:
+        raise RuntimeError(
+            "corrupt-chunk fixture: chunk payload not found"
+        )
+    n = min(40, len(payload))
+    data[idx : idx + n] = b"\xff" * n
+    open(ims, "wb").write(bytes(data))
+
+    res = convert_to_zarr(
+        spark,
+        ConvertJobSettings(
+            input_source=ims,
+            output_location=store,
+            chunk_shape=(_QCHUNK,) * 3,
+            shard_shape=(_QSHARD,) * 3,
+            translate_pyramid=True,
+            codec="gzip",
+            codec_level=1,
+            on_corrupt="quarantine",
+        ),
+    )
+    n_err = int(res.get("n_errors", 0))
+
+    g = _QN // _QSHARD
+    coords = [
+        (iz, iy, ix)
+        for iz in range(g)
+        for iy in range(g)
+        for ix in range(g)
+    ]
+    cdf = spark.createDataFrame(coords, "iz long, iy long, ix long")
+
+    def read_back(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        spec = read_array_metadata(store, 0)
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = read_array_region(
+                    store,
+                    0,
+                    (
+                        slice(0, 1),
+                        slice(0, 1),
+                        slice(row.iz * _QSHARD, (row.iz + 1) * _QSHARD),
+                        slice(row.iy * _QSHARD, (row.iy + 1) * _QSHARD),
+                        slice(row.ix * _QSHARD, (row.ix + 1) * _QSHARD),
+                    ),
+                    spec,
+                )
+                out.append(
+                    (
+                        row.iz,
+                        row.iy,
+                        row.ix,
+                        int(a.astype(np.int64).sum()),
+                        int(a.size),
+                        n_err,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "iz",
+                    "iy",
+                    "ix",
+                    "voxel_sum",
+                    "n_voxels",
+                    "job_errors",
+                ],
+            )
+
+    return cdf.mapInPandas(
+        read_back,
+        "iz long, iy long, ix long, voxel_sum long, n_voxels long, "
+        "job_errors long",
+    )
