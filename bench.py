@@ -130,6 +130,29 @@ def _env_snapshot() -> dict:
     return snap
 
 
+def _io_probe_ms(size_mb: int = 128) -> float:
+    """Write+fsync a fixed-size file in the bench temp dir (round-11
+    verdict, What's wrong #1): the matmul probe is CPU-only, so a dirty
+    DISK window — dirty-page writeback stalling the conversion rows'
+    output path — left no fingerprint (r11 run 2 caught both conversion
+    JVMs slow with CLEAN cpu probes). This names it: the probe measures
+    the same write+fsync path the shard writer uses, with a size small
+    enough (~128 MB) to cost <1 s on a clean disk and large enough that
+    a contended writeback window shows up as a multi-x reading."""
+    buf = os.urandom(1 << 20)
+    t0 = time.monotonic()
+    fd, path = tempfile.mkstemp(prefix="io_probe_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(size_mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+    finally:
+        os.unlink(path)
+    return round((time.monotonic() - t0) * 1000, 1)
+
+
 def _child_queries(sf_dir: str, cpus: int, reps: int) -> dict:
     """One fresh JVM: warm-up + `reps` INTERLEAVED passes over HEADLINE.
 
@@ -205,6 +228,10 @@ def _child_conversion(cpus: int, reps: int) -> dict:
             ),
         )
 
+    # I/O probes bracket the timed sections (start / between rows /
+    # end) so a dirty disk window opening MID-JVM is still named.
+    io_probes = {"start": _io_probe_ms()}
+
     # tensor_to_zarr_4GB: 4.3 GB synthetic uint16 through the shard
     # writer with zstd-3 (production codec, matching the reference's
     # chain; BASELINE.md comparable: 0.084 GB/s at 8-16 workers).
@@ -227,6 +254,8 @@ def _child_conversion(cpus: int, reps: int) -> dict:
             )
             conv_runs.append(time.monotonic() - t0)
             conv_bytes = result["stages"][0]["bytes_read"]
+
+    io_probes["mid"] = _io_probe_ms()
 
     # pyramid_compute_2GB (A1 kernel path): level 0 copied + levels 1-2
     # mean-downsampled FROM THE STORE (read-back + block-reduce +
@@ -253,11 +282,13 @@ def _child_conversion(cpus: int, reps: int) -> dict:
             pyr_runs.append(time.monotonic() - t0)
             pyr_bytes = pyr["stages"][0]["bytes_read"]
     spark.stop()
+    io_probes["end"] = _io_probe_ms()
     return {
         "conv_runs": conv_runs,
         "pyr_runs": pyr_runs,
         "conv_bytes": conv_bytes,
         "pyr_bytes": pyr_bytes,
+        "io_probes_ms": io_probes,
         "env": env,
     }
 
@@ -365,9 +396,22 @@ def main() -> None:
                 "conv_runs": [round(s, 3) for s in j["conv_runs"]],
                 "pyr_runs": [round(s, 3) for s in j["pyr_runs"]],
                 "cpu_probe_ms": j["env"].get("cpu_probe_ms"),
+                "io_probe_ms": j.get("io_probes_ms"),
             }
             for j in cjvms
         ],
+        "io_probe_rule": (
+            "each conversion JVM records write+fsync probes at start/"
+            "mid/end (128 MB, same output path as the shard writer); a"
+            " conversion row's min is trusted only from a JVM whose"
+            " bracketing probes sit within ~2x of the round's best io"
+            " probe — a JVM with drifted io probes and clean cpu probes"
+            " was inside a dirty disk window (the r11 run-2 failure"
+            " mode) and its samples are diagnostic, not headline,"
+            " evidence. With >=2 conversion JVMs alternated in time the"
+            " min-over-JVMs already drops such a window unless BOTH"
+            " JVMs were dirty, which the probes now make visible."
+        ),
     }
 
     print(
