@@ -133,15 +133,29 @@ GROUP BY o_orderpriority
 """,
 )
 def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via semi join against a PRE-AGGREGATED lineitem
+    (round-12 sf30 plan audit): ``EXISTS(l_shipdate > o_orderdate)``
+    ⟺ ``max(l_shipdate) > o_orderdate``, so the semi join's big side
+    shrinks from every lineitem row to one row per orderkey BEFORE the
+    shuffle — and lineitem files are orderkey-clustered, so the
+    map-side partial max combines ~4:1 ahead of the exchange. The
+    derived scan filter ``l_shipdate > 1996-01-01`` (no earlier
+    shipment can beat an in-window order date) prunes at the parquet
+    scan. Same EXISTS semantics, ~4x less shuffle at sf30."""
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    li_max = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_shipdate"))
+    )
     semi = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate),
+        li_max,
+        (orders.o_orderkey == li_max.l_orderkey)
+        & (li_max.max_shipdate > orders.o_orderdate),
         "left_semi",
     )
     return semi.groupBy("o_orderpriority").agg(

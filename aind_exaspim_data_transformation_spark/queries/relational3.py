@@ -278,19 +278,32 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold is 0.2 * (exact decimal sum as double / count) computed
     with the identical operation order in both engines, so the double
     comparison is bit-deterministic."""
+    # Round-12 sf30 plan audit: thresholds are only ever consulted for
+    # the brand's parts (1/25 of the part table), so the per-part
+    # aggregation runs over the BRAND-FILTERED lineitem (a map-only
+    # broadcast join prunes 96% of rows before the shuffle) instead of
+    # all of lineitem. Per-part sums are over the identical row sets,
+    # so every threshold double is unchanged; and the threshold
+    # relation now stays broadcast-sized at any SF (brand parts only)
+    # where the all-parts version fell back to a sort-merge join at
+    # sf30.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_brand") == "Brand#23"
     )
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    li_brand = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresholds = li_brand.groupBy(
+        F.col("l_partkey").alias("t_partkey")
+    ).agg(
         (
             F.lit(0.2)
             * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
         ).alias("qty_thr")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        li_brand.join(
+            F.broadcast(thresholds), li.l_partkey == F.col("t_partkey")
+        )
         .where(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
