@@ -277,15 +277,25 @@ FROM lineitem
 
 @query("q_hll_sketch_union", oracle=_HLL_ORACLE)
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_orderkey"
+    # Round-12 sf30 audit: the exact-count companion columns dominated
+    # the runtime (two lineitem scans + a count_distinct expand). HLL
+    # sketch state depends only on the SET of hashed keys — duplicates
+    # contribute nothing — so every output derives from ONE
+    # distinct() pass over the (flag, key) pairs: one scan, one
+    # dedup shuffle (strongly map-side combined: lineitem files are
+    # orderkey-clustered), then per-group counts are plain COUNT(*) and
+    # the sketches hash ~2.2x fewer rows. Estimates are bit-identical.
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
     )
     # lgConfigK pinned (not the default) so the sketch's error profile
     # is stable across Spark versions; the bound is ~6 sigma of
     # lgConfigK=12's RSE (~1.6%), not a knife-edge 3-sigma check.
-    per = li.groupBy("l_returnflag").agg(
+    per = pairs.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_orderkey", F.lit(12)).alias("sk"),
-        F.count_distinct("l_orderkey").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("exact_distinct"),
     )
     bound = (
         F.abs(
@@ -301,7 +311,7 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.alias("within_bound"),
     )
     merged = per.agg(F.hll_union_agg("sk").alias("sk"))
-    exact_total = li.agg(
+    exact_total = pairs.agg(
         F.count_distinct("l_orderkey").alias("exact_distinct")
     )
     total_row = merged.crossJoin(exact_total).select(

@@ -10,8 +10,10 @@ Usage: python tools/parity.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import re
 import sys
 import traceback
 
@@ -111,6 +113,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     failed = []
+    records: dict[str, dict] = {}
     for name in names:
         fn = QUERIES[name]
         try:
@@ -118,19 +121,68 @@ def main() -> int:
             if name not in ORACLES:
                 n = df.count()
                 print(f"  [rows-only] {name}: {n} rows")
+                records[name] = {
+                    "ok": True,
+                    "rows": n,
+                    "oracle": False,
+                    "msg": "rows-only (no oracle registered)",
+                    "err": None,
+                }
                 continue
             ok, msg = compare(df, ORACLES[name], sf_dir)
             status = "PASS" if ok else "FAIL"
             print(f"  [{status}] {name}: {msg}")
+            m = re.search(r"ok \((\d+) rows\)", msg)
+            records[name] = {
+                "ok": ok,
+                "rows": int(m.group(1)) if m else None,
+                "oracle": True,
+                "msg": msg,
+                "err": None,
+            }
             if not ok:
                 failed.append(name)
-        except Exception:
+        except Exception as exc:
             print(f"  [ERROR] {name}:")
             traceback.print_exc()
+            records[name] = {
+                "ok": False,
+                "rows": None,
+                "oracle": name in ORACLES,
+                "msg": None,
+                "err": f"{type(exc).__name__}: {exc}",
+            }
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     if failed:
         print("failed:", failed)
+    # Full-sweep artifact (round-11 verdict, Next #5): the driver's
+    # CORRECTNESS file samples 50 rows per round; PARITY_JSON_OUT
+    # commits the whole-registry sweep in a comparable per-query
+    # schema so coverage beyond the sample is auditable in-repo.
+    out = os.environ.get("PARITY_JSON_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {
+                    "summary": {
+                        "sf_dir": sf_dir,
+                        "passed": len(names) - len(failed),
+                        "total": len(names),
+                        "failed": failed,
+                        "generated_by": (
+                            "tools/parity.py (driver-identical compare:"
+                            " row count + sorted column names +"
+                            " order-insensitive canonical value rows,"
+                            " strict to the ulp)"
+                        ),
+                    },
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out}")
     return 1 if failed else 0
 
 

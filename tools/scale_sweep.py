@@ -90,6 +90,28 @@ ORACLE_INFEASIBLE_AT_SCALE |= {
 }
 
 
+def _io_probe_ms(size_mb: int = 64) -> float:
+    """Write+fsync probe on the shuffle-spill/temp disk (round 12): the
+    matmul probe is CPU-only, and the shuffle-heavy rows (HLL's distinct
+    dedup, big-join spills) swing 3-6x at FIXED data with CLEAN cpu
+    probes — the contention lives on the shared disk. 64 MB keeps the
+    cost ~0.3 s/row against multi-second rows."""
+    import tempfile
+
+    buf = os.urandom(1 << 20)
+    t0 = time.monotonic()
+    fd, path = tempfile.mkstemp(prefix="sweep_io_probe_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(size_mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+    finally:
+        os.unlink(path)
+    return round((time.monotonic() - t0) * 1000, 1)
+
+
 def _quick_probe_ms() -> float:
     """Instantaneous host-speed reading recorded PER ROW (round 11):
     this VM's effective CPU speed swings up to ~5x with hypervisor
@@ -266,6 +288,7 @@ def main() -> int:
                 continue
             try:
                 probe_ms = _quick_probe_ms()
+                io_ms = _io_probe_ms()
                 t0 = time.monotonic()
                 df = QUERIES[name](spark, sf_dir)
                 pdf = df.toPandas()
@@ -290,7 +313,7 @@ def main() -> int:
                     )
                 print(
                     f"  {name:34s} {dt:8.2f}s  rows={len(pdf):>8}  "
-                    f"probe={probe_ms:5.1f}ms  {status}",
+                    f"probe={probe_ms:5.1f}ms io={io_ms:6.1f}ms  {status}",
                     flush=True,
                 )
                 r = rows.setdefault(
@@ -298,6 +321,7 @@ def main() -> int:
                 )
                 r.setdefault("secs", []).append(round(dt, 2))
                 r.setdefault("probes_ms", []).append(probe_ms)
+                r.setdefault("io_probes_ms", []).append(io_ms)
                 r["sec"] = min(r["secs"])
                 r["ok"] = ok
                 if not ok and name not in failed:
@@ -335,7 +359,10 @@ def main() -> int:
                 "protocol": (
                     "per-row sec = min over timing passes; probes_ms ="
                     " host matmul speed right before each sample (clean"
-                    " ~14 ms; hypervisor-neighbor slow windows 50-110 ms)"
+                    " ~14 ms; hypervisor-neighbor slow windows 50-110 ms);"
+                    " io_probes_ms = 64MB write+fsync on the spill disk"
+                    " per sample (clean ~200-400 ms; a drifted io probe"
+                    " with a clean cpu probe names a dirty disk window)"
                 ),
             }
         )
