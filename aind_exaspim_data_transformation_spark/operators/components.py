@@ -53,17 +53,16 @@ def _union_find_components(
     return edges.sparkSession.createDataFrame(out, schema)
 
 
-def _row_heap_bytes(row) -> int:
-    """Approximate Python-heap bytes one collected edge row occupies on
-    the driver (tuple + boxed values; nested containers counted one
-    level deep — vertex ids are scalars in every caller)."""
-    import sys
+def _row_width_expr(edges: DataFrame, col: str):
+    """Engine-side estimate of the Python-heap bytes one collected
+    value of ``col`` costs on the driver: strings are 49B of object
+    header + the payload (56 covers header + ASCII slack), everything
+    scalar boxes to ~32B."""
+    from pyspark.sql.types import StringType
 
-    vals = tuple(row)
-    total = sys.getsizeof(vals)
-    for v in vals:
-        total += sys.getsizeof(v)
-    return total
+    if isinstance(edges.schema[col].dataType, StringType):
+        return F.coalesce(F.length(F.col(col)), F.lit(0)) + F.lit(56)
+    return F.lit(32)
 
 
 def connected_components(
@@ -91,11 +90,13 @@ def connected_components(
     wrong #3): a flat row cap ignores vertex width, and 4M collected
     Rows of long ids already cost hundreds of MB of driver heap — an
     OOM on a small driver for wide (string) vertex ids. The estimate
-    is ``count * per-row heap`` with the per-row heap measured from a
-    small collected sample (default budget 256 MiB — for two-long
-    edges that binds near ~1.6M edges, an order of magnitude under
-    the old effective default; the row cap remains as a hard upper
-    bound).
+    is ``count * max per-row width * 2``: the max width is computed
+    engine-side over ALL rows (one cheap agg — a prefix sample would
+    miss width skew in the tail) and the x2 covers union-find's own
+    parent dict roughly doubling resident heap. Default budget
+    256 MiB — for two-long edges that binds near ~800k edges, well
+    under the old flat default; the row cap remains as a hard upper
+    bound.
     """
     # The edge list is consumed at least twice (threshold count +
     # either the driver collect or the symmetrized build) and its
@@ -107,11 +108,17 @@ def connected_components(
     if collect_threshold:
         n_edges = edges.count()
         if n_edges <= collect_threshold:
-            sample = edges.limit(64).collect()
-            per_row = max(
-                (_row_heap_bytes(r) for r in sample), default=0
-            )
-            if n_edges * per_row <= collect_max_bytes:
+            per_row = 0
+            if n_edges:
+                width = (
+                    _row_width_expr(edges, src)
+                    + _row_width_expr(edges, dst)
+                    + F.lit(64)  # Row tuple + per-row bookkeeping
+                )
+                per_row = edges.agg(
+                    F.max(width).alias("w")
+                ).collect()[0]["w"]
+            if n_edges * per_row * 2 <= collect_max_bytes:
                 return _union_find_components(edges, src, dst)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

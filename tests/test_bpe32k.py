@@ -200,9 +200,7 @@ def test_sql_fold_matches_heap_prefix512():
     con = duckdb.connect()
     texts = _sample_texts(15)
     con.execute(
-        "CREATE TABLE t AS SELECT * FROM (VALUES "
-        + ",".join(f"('{t}')" for t in texts)
-        + ") v(text)"
+        "CREATE TABLE t AS SELECT unnest(?) AS text", [texts]
     )
     got = [
         r[0]
@@ -220,9 +218,7 @@ def test_sql_fold_matches_heap_full_vocab():
     con = duckdb.connect()
     texts = _sample_texts(5)
     con.execute(
-        "CREATE TABLE t AS SELECT * FROM (VALUES "
-        + ",".join(f"('{t}')" for t in texts)
-        + ") v(text)"
+        "CREATE TABLE t AS SELECT unnest(?) AS text", [texts]
     )
     got = [
         r[0]

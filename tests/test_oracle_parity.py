@@ -21,5 +21,5 @@ def test_query_matches_oracle(spark, name):
     if name not in ORACLES:
         assert df.count() >= 0  # rows-only check
         return
-    ok, msg = compare(df, ORACLES[name], SF_SMALL)
+    ok, msg, _rows = compare(df, ORACLES[name], SF_SMALL)
     assert ok, f"{name}: {msg}"

@@ -123,7 +123,7 @@ def test_sort_merge_transition_parity(spark):
             )
             assert "SortMergeJoin" in plan, name
             assert "BroadcastHashJoin" in plan, name  # hinted dims hold
-            ok, msg = compare(df, ORACLES[name], SF_SMALL)
+            ok, msg, _rows = compare(df, ORACLES[name], SF_SMALL)
             assert ok, f"{name} under SMJ: {msg}"
     finally:
         for k, v in saved.items():

@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import re
 import sys
 import traceback
 
@@ -54,7 +53,9 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
 
 def compare(
     spark_df, oracle_sql: str, sf_dir: str, spark_pdf=None
-) -> tuple[bool, str]:
+) -> tuple[bool, str, int | None]:
+    """Returns (ok, message, spark_row_count) — the count is structural
+    so artifact writers never scrape it out of the message text."""
     con = duckdb.connect()
     # At scale-sweep SFs (sf1/sf10) some oracles build very large
     # intermediates; an explicit cap makes DuckDB spill to disk instead
@@ -82,21 +83,24 @@ def compare(
     if spark_pdf is None:
         spark_pdf = spark_df.toPandas()
 
+    n = len(spark_pdf)
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return False, (
             f"schema mismatch: spark={sorted(spark_pdf.columns)} "
             f"oracle={sorted(oracle_pdf.columns)}"
-        )
+        ), n
     if len(spark_pdf) != len(oracle_pdf):
-        return False, f"rowcount mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        return False, (
+            f"rowcount mismatch: spark={n} oracle={len(oracle_pdf)}"
+        ), n
     s_rows = canonical_rows(spark_pdf)
     o_rows = canonical_rows(oracle_pdf)
     if s_rows != o_rows:
         diffs = [
             (a, b) for a, b in zip(s_rows, o_rows) if a != b
         ][:3]
-        return False, f"value mismatch, first diffs: {diffs}"
-    return True, f"ok ({len(s_rows)} rows)"
+        return False, f"value mismatch, first diffs: {diffs}", n
+    return True, f"ok ({n} rows)", n
 
 
 def main() -> int:
@@ -129,13 +133,12 @@ def main() -> int:
                     "err": None,
                 }
                 continue
-            ok, msg = compare(df, ORACLES[name], sf_dir)
+            ok, msg, n_rows = compare(df, ORACLES[name], sf_dir)
             status = "PASS" if ok else "FAIL"
             print(f"  [{status}] {name}: {msg}")
-            m = re.search(r"ok \((\d+) rows\)", msg)
             records[name] = {
                 "ok": ok,
-                "rows": int(m.group(1)) if m else None,
+                "rows": n_rows,
                 "oracle": True,
                 "msg": msg,
                 "err": None,

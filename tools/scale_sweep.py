@@ -72,8 +72,9 @@ SHUFFLE_HEAVY = [
 # doubling (V + E rows per round), and the ANN oracles' per-dimension
 # embeddings-x-planes explode (512M grouped rows at sf10) became
 # index-ordered list kernels over pre-aggregated plane lists — all
-# verified bit-identical at sf0.01-sf1. The built-in skip set is now
-# EMPTY; SWEEP_SKIP_ORACLE remains as an escape hatch for ad-hoc runs.
+# verified bit-identical at sf0.01-sf1. SWEEP_SKIP_ORACLE remains as an
+# escape hatch for ad-hoc runs; since round 12 the built-in set has
+# exactly ONE member (below), by design rather than by gap.
 ORACLE_INFEASIBLE_AT_SCALE: set[str] = set()
 # Round 12 re-opens the set for exactly one row, by design rather than
 # by gap: q_text_bpe32k_tokens' oracle is the exact 32,768-step replace
@@ -300,7 +301,7 @@ def main() -> int:
                     ok = rows[name]["ok"]
                     status = "retimed"
                 elif check_oracle and name in ORACLES and not skip_oracle:
-                    ok, msg = compare(
+                    ok, msg, _n = compare(
                         df, ORACLES[name], sf_dir, spark_pdf=pdf
                     )
                     status = "PASS" if ok else f"FAIL {msg}"
