@@ -56,6 +56,7 @@ from ..functions.bpe32k import (
 )
 from ..sources.tables import load_table
 from ._helpers import fan_out_small_scan
+from .dataprep_q import _SEQ_LEN
 from .registry import query
 
 _PREFIX_RANKS = 512
@@ -139,4 +140,87 @@ def q_text_bpe32k_prefix512(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens_p512(F.col("text")).alias("n_tokens_p512"),
+    )
+
+
+def _pack32k_oracle() -> str:
+    """Same packing arithmetic as q_docs_pack_sequences_bpe, with the
+    token counter swapped for the full 32k fold — exact, O(vocab x
+    corpus), driver-gate SF only (tagged with the tokens query in
+    ORACLE_INFEASIBLE_AT_SCALE)."""
+    tc = sql_token_count32k("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST({tc} AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in_src
+  FROM toks),
+src_tot AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total FROM toks
+  GROUP BY source),
+src_off AS (
+  SELECT source,
+    CAST(SUM(total) OVER (ORDER BY source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total
+      AS BIGINT) AS offset
+  FROM src_tot)
+SELECT c.doc_id, c.source, c.n_tokens,
+  CAST(o.offset + c.cum_in_src - c.n_tokens AS BIGINT) AS global_start,
+  CAST((o.offset + c.cum_in_src - c.n_tokens) // {_SEQ_LEN} AS BIGINT)
+    AS first_example,
+  CAST((o.offset + c.cum_in_src - 1) // {_SEQ_LEN} AS BIGINT)
+    AS last_example
+FROM cum c JOIN src_off o ON c.source = o.source
+"""
+
+
+@query("q_docs_pack_sequences_bpe32k", oracle=_pack32k_oracle())
+def q_docs_pack_sequences_bpe32k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GPT-style sequence packing by PRODUCTION-vocabulary token counts
+    — the form a real pipeline runs (pack budgets move a lot between a
+    256-merge and a 32k-merge tokenizer: ~2.4 vs ~7.2 chars/token on
+    this corpus). Identical packing arithmetic to
+    ``q_docs_pack_sequences_bpe`` (per-source parallel cumsum + offset
+    window, text never shuffles); only the counter changed to the heap
+    encoder."""
+
+    @F.pandas_udf("long")
+    def n_tokens32k(texts: pd.Series) -> pd.Series:
+        return token_count_series(texts).astype("int64")
+
+    from pyspark.sql import Window
+
+    toks = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", "source", n_tokens32k(F.col("text")).alias("n_tokens")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_in_src", F.sum("n_tokens").over(w_src))
+    src_tot = toks.groupBy("source").agg(F.sum("n_tokens").alias("total"))
+    w_off = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    src_off = src_tot.select(
+        "source",
+        (F.sum("total").over(w_off) - F.col("total")).alias("offset"),
+    )
+    gstart = F.col("offset") + F.col("cum_in_src") - F.col("n_tokens")
+    gend = F.col("offset") + F.col("cum_in_src")
+    return cum.join(F.broadcast(src_off), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        gstart.alias("global_start"),
+        F.floor(gstart / _SEQ_LEN).alias("first_example"),
+        F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
     )
