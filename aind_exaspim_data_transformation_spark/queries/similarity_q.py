@@ -1013,21 +1013,41 @@ GROUP BY a.k"""
 
 
 def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Nearest-centroid assignment as a MAP-ONLY literal-codebook fold
+    (round 12; the operators/kmeans.py `assign_nearest` shape): the
+    K x D codebook is collected (bounded — K*D doubles) and embedded
+    as a literal array of structs, and the per-row argmin is
+    ``array_min`` over ``transform`` — min over struct(d2, k) is
+    lowest distance with ties to the lowest k, exactly the
+    ``ROW_NUMBER() ... ORDER BY d2, k`` the oracle runs, over the
+    identical d2 fold, so every assignment is bit-unchanged. The
+    previous form crossJoined and sorted N*K rows through a window —
+    one full shuffle per Lloyd iteration that this removes."""
+    lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("k"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for k, c in sorted(
+                (r["k"], list(r["c"])) for r in cents.collect()
+            )
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "k")
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "k", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "k")
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            lit, lambda s: F.struct(d2(s["c"]).alias("d2"), s["k"].alias("k"))
+        )
     )
+    return vecs.select("vec_id", best["k"].alias("k"))
 
 
 def _km_centroids(vecs: DataFrame) -> DataFrame:
