@@ -12,7 +12,10 @@ operator family, registered via the ``@query`` decorator).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -31,9 +34,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _last_sampled_round() -> dict[str, int]:
+    """Map query name -> most recent round whose CORRECTNESS_r{N}.json
+    sampled it (the driver checks the FIRST 50 of ``queries()``).
+
+    Used to rotate least-recently-driver-checked queries to the front so
+    the cumulative driver-verified union converges to the whole registry
+    instead of re-sampling whatever happens to be newest (round-12
+    verdict Next #1: 99/174 names had never appeared in any driver
+    artifact).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                names = json.load(fh).keys()
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered least-recently-driver-sampled first (never-sampled names
+    lead, in registry order) so the driver's first-50 correctness
+    sample sweeps the whole registry across rounds.
+    """
+    last = _last_sampled_round()
+    names = list(QUERIES)
+    order = {n: i for i, n in enumerate(names)}
+    names.sort(key=lambda n: (last.get(n, -1), order[n]))
+    return {n: QUERIES[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:
