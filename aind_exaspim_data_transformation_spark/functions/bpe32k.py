@@ -52,6 +52,7 @@ shuffle, no driver state, no per-vocabulary cost at encode time.
 from __future__ import annotations
 
 import base64
+import re
 from heapq import heapify, heappop, heappush
 
 from .bpe_vocab_32k import N_MERGES, PAIRS_B64, PUA32_BASE
@@ -78,11 +79,26 @@ def expansion() -> dict[str, str]:
     return _EXPANSION
 
 
+_PUA_RE = re.compile("[\U000F0000-\U0010FFFF]")
+
+
 def apply_merges(text: str, n_ranks: int | None = None) -> str:
     """Heap-based BPE encode to the 1-char-per-token mapped string.
 
     ``n_ranks`` restricts encoding to the first ``n_ranks`` merges
-    (used by the prefix-512 cross-engine oracle query)."""
+    (used by the prefix-512 cross-engine oracle query).
+
+    Contract: input must not contain code points >= PUA32_BASE
+    (plane 15/16 private use) — those are the token alphabet, and a
+    document containing one would alias a merged token and silently
+    corrupt detokenize/token counts (round-12 advice). Enforced with
+    a C-speed regex scan (negligible next to the heap encode) so the
+    failure is a clear error, not a downstream parity mismatch."""
+    if _PUA_RE.search(text) is not None:
+        raise ValueError(
+            "bpe32k input contains code points >= U+F0000 (the merged-"
+            "token alphabet); refusing to encode"
+        )
     n = len(text)
     if n < 2:
         return text

@@ -57,11 +57,18 @@ def _row_width_expr(edges: DataFrame, col: str):
     """Engine-side estimate of the Python-heap bytes one collected
     value of ``col`` costs on the driver: strings are 49B of object
     header + the payload (56 covers header + ASCII slack), everything
-    scalar boxes to ~32B."""
+    scalar boxes to ~32B.
+
+    The payload term uses ``octet_length`` (UTF-8 bytes), not
+    ``length`` (characters): CPython stores non-ASCII str at 2/4
+    bytes per code point, and UTF-8 width is the closer (and never
+    4x-under) proxy — a character count under-estimates driver heap
+    by up to ~4x on wide-char vertex ids, defeating the OOM guard
+    this estimate exists for (round-12 advice)."""
     from pyspark.sql.types import StringType
 
     if isinstance(edges.schema[col].dataType, StringType):
-        return F.coalesce(F.length(F.col(col)), F.lit(0)) + F.lit(56)
+        return F.coalesce(F.octet_length(F.col(col)), F.lit(0)) + F.lit(56)
     return F.lit(32)
 
 

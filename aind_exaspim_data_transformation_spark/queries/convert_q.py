@@ -15,6 +15,7 @@ trips".
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 
@@ -234,9 +235,18 @@ def q_zarr_roundtrip_quarantine(
     from ..sources.tensor import write_imaris_file
     from ..zarrio.format import read_array_metadata, read_array_region
 
-    base = os.path.join(tempfile.gettempdir(), "zarr_oracle_quarantine")
+    # Per-process scratch dir (round-12 advice): a fixed shared path
+    # races when two sessions on one host rebuild + corrupt the fixture
+    # concurrently (one rewrites tile_q.ims mid-convert of the other,
+    # flaking job_errors==1). PID keeps it deterministic within a run
+    # while isolating concurrent sessions.
+    base = os.path.join(
+        tempfile.gettempdir(), f"zarr_oracle_quarantine_{os.getpid()}"
+    )
     ims = os.path.join(base, "tile_q.ims")
     store = os.path.join(base, "roundtrip.zarr")
+    if os.path.isdir(store):
+        shutil.rmtree(store)
     os.makedirs(base, exist_ok=True)
     zz, yy, xx = np.meshgrid(
         np.arange(_QN, dtype=np.int64),

@@ -227,3 +227,16 @@ def test_sql_fold_matches_heap_full_vocab():
         ).fetchall()
     ]
     assert got == [B.token_count(t) for t in texts]
+
+
+def test_encode_rejects_pua_input():
+    # Contract (round-12 advice): code points >= U+F0000 are the merged-
+    # token alphabet; a document containing one must fail loudly instead
+    # of aliasing a token and corrupting detokenize/token counts.
+    import pytest
+
+    for poison in ("abc\U000F0000def", "\U000F7FFF", "x\U0010FFFFy"):
+        with pytest.raises(ValueError, match="U\\+F0000"):
+            B.apply_merges(poison)
+    # Boundary: the last pre-PUA code point is still legal input.
+    assert B.token_count("ab\U000EFFFF") >= 1
