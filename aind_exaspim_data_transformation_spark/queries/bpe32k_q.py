@@ -224,3 +224,97 @@ def q_docs_pack_sequences_bpe32k(
         F.floor(gstart / _SEQ_LEN).alias("first_example"),
         F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
     )
+
+
+def _pipe32k_oracle() -> str:
+    """The full composite-pipeline oracle (filter -> dedup -> resample
+    -> pack) with the packing counter swapped for the exact 32k replace
+    fold. O(vocab x corpus) like the tokens oracle — driver-gate SF
+    only (tagged in ORACLE_INFEASIBLE_AT_SCALE); the quality filter and
+    sampling stages are byte-identical to q_docs_training_pipeline's
+    oracle so the two pipelines stay provably in lockstep everywhere
+    except the counter."""
+    from .dataprep_q import _DOMAIN_SQL, _probs_sql, _uniform_sql
+
+    tc = sql_token_count32k("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents),
+sig AS (
+  SELECT doc_id, source, text, n_words,
+    CAST(list_max(list_transform(list_distinct(ws),
+           w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / n_words
+      AS top_frac,
+    1.0 - CAST(len(list_distinct(list_transform(range(1, n_words),
+           i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE)
+          / (n_words - 1) AS dup2_frac
+  FROM base WHERE n_words >= 10),
+filtered AS (
+  SELECT doc_id, source, text FROM sig
+  WHERE top_frac <= 0.20 AND dup2_frac <= 0.60),
+toked AS (
+  SELECT doc_id, source, text, CAST({tc} AS BIGINT) AS n_tokens
+  FROM filtered),
+deduped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM toked)
+  WHERE rn = 1),
+doms AS (
+  SELECT doc_id, source, n_tokens, {_DOMAIN_SQL} AS domain
+  FROM deduped),
+{_probs_sql("doms")},
+sampled AS (
+  SELECT d.doc_id, d.source, d.domain, d.n_tokens
+  FROM doms d JOIN probs p ON d.domain = p.domain
+  WHERE {_uniform_sql("CAST(d.doc_id AS VARCHAR)")} < p.keep_prob),
+cum AS (
+  SELECT doc_id, source, domain, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in_src
+  FROM sampled),
+src_off AS (
+  SELECT source,
+    CAST(SUM(total) OVER (ORDER BY source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total
+      AS BIGINT) AS offset
+  FROM (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+        FROM sampled GROUP BY source))
+SELECT c.doc_id, c.source, c.domain, c.n_tokens,
+  CAST(o.offset + c.cum_in_src - c.n_tokens AS BIGINT) AS global_start,
+  CAST((o.offset + c.cum_in_src - c.n_tokens) // {_SEQ_LEN} AS BIGINT)
+    AS first_example,
+  CAST((o.offset + c.cum_in_src - 1) // {_SEQ_LEN} AS BIGINT)
+    AS last_example
+FROM cum c JOIN src_off o ON c.source = o.source
+"""
+
+
+@query("q_docs_training_pipeline_bpe32k", oracle=_pipe32k_oracle())
+def q_docs_training_pipeline_bpe32k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship end-to-end path in PRODUCTION form (round-12
+    verdict, Next #4): filter -> exact dedup -> temperature resample ->
+    sequence packing, with the packing stage budgeting by the 32k-merge
+    heap encoder instead of whitespace words. Same single-corpus-scan
+    plan as ``q_docs_training_pipeline`` (the counter is one extra
+    pandas-UDF column in the post-filter projection; only filter
+    survivors pay the encode, the survivor cache still carries no
+    text)."""
+
+    @F.pandas_udf("long")
+    def n_tokens32k(texts: pd.Series) -> pd.Series:
+        return token_count_series(texts).astype("int64")
+
+    from .dataprep_q import build_training_pipeline
+
+    return build_training_pipeline(
+        spark,
+        sf_dir,
+        pack_counter=n_tokens32k,
+        counter_name="n_tokens",
+    )

@@ -292,12 +292,25 @@ FROM cum c JOIN src_off o ON c.source = o.source
 """
 
 
-@query("q_docs_training_pipeline", oracle=_PIPE_ORACLE)
-def q_docs_training_pipeline(
-    spark: SparkSession, sf_dir: str
+def build_training_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    pack_counter=None,
+    counter_name: str = "n_words",
 ) -> DataFrame:
     """filter -> dedup -> resample -> pack as one lazy plan; the corpus
     text is read once and each stage's shuffle moves only survivors.
+
+    ``pack_counter`` (optional ``fn(text Column) -> Column``) swaps the
+    token counter the PACKING stage budgets by — default whitespace
+    words, production form the 32k-BPE heap encoder
+    (``q_docs_training_pipeline_bpe32k``). The quality filter always
+    uses whitespace stats (Gopher thresholds are defined over words);
+    the counter is evaluated in the same post-filter projection, so
+    only filter survivors pay the encode and the corpus is still
+    scanned exactly once (duplicate texts are encoded before dedup
+    drops them — the alternative, a join back to the corpus for
+    survivor text, would be a second full scan).
 
     The survivor cache cannot be unpersisted here (the returned
     DataFrame is lazy); long-lived sessions should run the query
@@ -328,6 +341,10 @@ def q_docs_training_pipeline(
             (F.col("top_frac") <= 0.20) & (F.col("dup2_frac") <= 0.60)
         )
     )
+    if pack_counter is not None:
+        filtered = filtered.withColumn(
+            counter_name, pack_counter(F.col("text"))
+        )
     w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
         filtered.withColumn("rn", F.row_number().over(w_dedup))
@@ -335,7 +352,7 @@ def q_docs_training_pipeline(
         .select(
             "doc_id",
             "source",
-            "n_words",
+            counter_name,
             _domain_col().alias("domain"),
         )
     )
@@ -345,36 +362,48 @@ def q_docs_training_pipeline(
     sampled = (
         deduped.join(F.broadcast(probs), "domain")
         .where(u < F.col("keep_prob"))
-        .select("doc_id", "source", "domain", "n_words")
+        .select("doc_id", "source", "domain", counter_name)
     )
     w_src = (
         Window.partitionBy("source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = sampled.withColumn("cum_in_src", F.sum("n_words").over(w_src))
+    cum = sampled.withColumn(
+        "cum_in_src", F.sum(counter_name).over(w_src)
+    )
     w_off = Window.orderBy("source").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     src_off = (
         sampled.groupBy("source")
-        .agg(F.sum("n_words").alias("total"))
+        .agg(F.sum(counter_name).alias("total"))
         .select(
             "source",
             (F.sum("total").over(w_off) - F.col("total")).alias("offset"),
         )
     )
-    gstart = F.col("offset") + F.col("cum_in_src") - F.col("n_words")
+    gstart = F.col("offset") + F.col("cum_in_src") - F.col(counter_name)
     gend = F.col("offset") + F.col("cum_in_src")
     return cum.join(F.broadcast(src_off), "source").select(
         "doc_id",
         "source",
         "domain",
-        "n_words",
+        counter_name,
         gstart.alias("global_start"),
         F.floor(gstart / _SEQ_LEN).alias("first_example"),
         F.floor((gend - 1) / _SEQ_LEN).alias("last_example"),
     )
+
+
+@query("q_docs_training_pipeline", oracle=_PIPE_ORACLE)
+def q_docs_training_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composite pipeline packing by whitespace word counts (the
+    cheap-counter form; the production-tokenizer twin is
+    ``q_docs_training_pipeline_bpe32k`` in ``bpe32k_q.py``)."""
+    return build_training_pipeline(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

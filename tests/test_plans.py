@@ -210,3 +210,24 @@ def test_funnel_bounded_state_plan(spark):
     assert "collect_list" not in plan
     assert "partial_min" in plan  # map-side combine of the staged mins
     assert "EqualTo(event_type,view)" in plan  # pushed stage filter
+
+
+def test_training_pipeline_bpe32k_same_scan_shape(spark):
+    # Round-12 verdict Next #4: swapping the packing counter to the 32k
+    # heap encoder must not change the single-corpus-scan plan shape.
+    # Plan strings repeat the cached survivor relation's child per
+    # InMemoryTableScan, so compare COUNTS against the whitespace twin
+    # rather than asserting an absolute number.
+    base = _plan(spark, "q_docs_training_pipeline")
+    bpe = _plan(spark, "q_docs_training_pipeline_bpe32k")
+    assert bpe.count("Scan parquet") == base.count("Scan parquet")
+    assert bpe.count("InMemoryTableScan") == base.count(
+        "InMemoryTableScan"
+    )
+    # The encode UDF runs below the persist (inside the cached survivor
+    # relation), so survivors are encoded once, not once per downstream
+    # branch: every ArrowEvalPython occurrence is within an
+    # InMemoryRelation child printout, none in the post-cache plan.
+    post_cache = bpe.split("InMemoryRelation")[0]
+    assert "ArrowEvalPython" in bpe
+    assert "ArrowEvalPython" not in post_cache

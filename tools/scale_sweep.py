@@ -87,6 +87,7 @@ ORACLE_INFEASIBLE_AT_SCALE: set[str] = set()
 # cost class as the sf30-proven 256-merge fold).
 ORACLE_INFEASIBLE_AT_SCALE.add("q_text_bpe32k_tokens")
 ORACLE_INFEASIBLE_AT_SCALE.add("q_docs_pack_sequences_bpe32k")
+ORACLE_INFEASIBLE_AT_SCALE.add("q_docs_training_pipeline_bpe32k")
 ORACLE_INFEASIBLE_AT_SCALE |= {
     n for n in os.environ.get("SWEEP_SKIP_ORACLE", "").split(",") if n
 }
