@@ -231,6 +231,36 @@ def iter_coalesced_reads(pdf: pd.DataFrame, read_fn):
             yield r, block, time.monotonic() - t0
 
 
+def _test_straggler_hook() -> None:
+    """Test-only seam for the speculation integration test
+    (``tests/test_speculation.py``): when
+    ``SPARK_GRAFT_TEST_STRAGGLER_MS`` is set in the EXECUTOR env, every
+    writer task logs ``<partitionId>_<attemptNumber>`` into
+    ``SPARK_GRAFT_TEST_ATTEMPT_DIR`` and the (partition 0, attempt 0)
+    task stalls that many ms before doing its writes — so a speculative
+    duplicate attempt demonstrably runs, races the original on the SAME
+    shard keys, and the store must come out byte-identical (the
+    tmp+os.replace puts in ``kvstore`` are what make that safe). A
+    single getenv no-op in production."""
+    import os
+
+    ms = os.environ.get("SPARK_GRAFT_TEST_STRAGGLER_MS")
+    if not ms:
+        return
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    if tc is None:
+        return
+    log_dir = os.environ.get("SPARK_GRAFT_TEST_ATTEMPT_DIR")
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        marker = f"{tc.partitionId()}_{tc.attemptNumber()}"
+        open(os.path.join(log_dir, marker), "w").close()
+    if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        time.sleep(float(ms) / 1000.0)
+
+
 def _make_copy_writer(
     source_path: str,
     store: str,
@@ -253,6 +283,7 @@ def _make_copy_writer(
     tool, not deterministic poison pills)."""
 
     def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _test_straggler_hook()
         last_err: list[str | None] = [None]
         try:
             src = open_source(source_path)
