@@ -534,8 +534,18 @@ _PQ_R = 100  # ADC shortlist size before exact rerank (the recall dial:
 # measured with the same numpy ground-truth protocol at sf0.001:
 #   init (first-K)   -> 1.00 over 3 queries / 0.927 over 50
 #   trained (2 it.)  -> 1.00 over 3 queries / 0.980 over 50
-# — training lifts the 50-query recall by +5.3pt and removes the
-# untrained-first-K degradation risk on clustered real embeddings.
+# — on UNIFORM data training lifts the 50-query recall by +5.3pt.
+# Round-13 re-measurement on CLUSTERED data (the regenerated GMM
+# fixture, 32 Zipf-weighted clusters + planted near-dups): training
+# still does its actual job — quantization distortion drops 3.2x
+# (30.8 -> 9.7) — but recall@3 with the R=100 rerank is INSENSITIVE
+# to training (0.96 untrained vs 0.92 trained over 50 queries, and
+# the ordering holds down to R=5): a low-distortion codebook maps a
+# whole tight cluster onto shared codes, so ADC ties across the
+# cluster and the shortlist stops discriminating inside it. That is
+# the textbook case for IVF-PQ residual encoding (PQ over the
+# residual after coarse assignment); pinned with the measurement in
+# tests/test_ann_recall.py::test_pq_training_reduces_distortion_clustered.
 # K=64 is still a realistic codebook (production PQ uses 256/subspace);
 # encode stays a map-only Arrow kernel and the rerank touches R=100 of
 # N candidates — both unchanged in shape.

@@ -90,3 +90,144 @@ def test_bruteforce_is_exact(spark, sim_matrix):
             )
         ]
         assert mine == expect
+
+
+# ---------------------------------------------------------------------------
+# Clustered-geometry re-pin (round-12 verdict, Next #3): uniform random
+# vectors make ANN recall flattering. The fixture below is the
+# generator's GMM (32 Zipf-weighted clusters, sigma 0.35 vs center
+# scale 2.0, planted near-dup pairs) — the same distribution
+# tools/gen_testdata.py now ships in .localdata embeddings.
+# ---------------------------------------------------------------------------
+import importlib.util
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as parquet
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _gen_module():
+    spec = importlib.util.spec_from_file_location(
+        "gen_testdata", os.path.join(REPO, "tools", "gen_testdata.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    gt = _gen_module()
+    rng = np.random.default_rng(7)
+    emb, labels = gt.gen_embeddings(rng, 2000)
+    d = tmp_path_factory.mktemp("clustered_sf")
+    parquet.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(emb)), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def clustered_sim(clustered_dir):
+    gt = _gen_module()
+    rng = np.random.default_rng(7)
+    emb, _ = gt.gen_embeddings(rng, 2000)
+    m = emb.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = mn @ mn.T
+    np.fill_diagonal(s, -2.0)
+    return np.arange(len(m)), s
+
+
+def _recall_dir(spark, ids, s, qname, n_queries, sf_dir):
+    got: dict[int, set] = {}
+    for r in QUERIES[qname](spark, sf_dir).collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [
+        len(_exact_top3(ids, s, q) & got.get(q, set())) / 3.0
+        for q in range(n_queries)
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_lsh_recall_clustered(spark, clustered_dir, clustered_sim):
+    # Measured 1.00 (round 13): within-cluster neighbors share
+    # hyperplane signs far more often than uniform pairs do.
+    ids, s = clustered_sim
+    assert _recall_dir(spark, ids, s, "q_ann_lsh", 5, clustered_dir) >= 0.8
+
+
+def test_ivf_recall_clustered(spark, clustered_dir, clustered_sim):
+    # Measured 1.00 (round 13): the coarse quantizer's cells align with
+    # the true clusters, so nprobe=3 nearly always covers the home cell.
+    ids, s = clustered_sim
+    assert _recall_dir(spark, ids, s, "q_ann_ivf", 5, clustered_dir) >= 0.8
+
+
+def test_pq_recall_clustered(spark, clustered_dir, clustered_sim):
+    # Measured 1.00 (round 13) on the 3 query vectors (R=100 shortlist
+    # + exact rerank). See test_pq_training_reduces_distortion_clustered
+    # for the honest trained-vs-untrained story on this geometry.
+    ids, s = clustered_sim
+    assert _recall_dir(spark, ids, s, "q_ann_pq", 3, clustered_dir) >= 0.8
+
+
+def test_pq_training_reduces_distortion_clustered():
+    """What 2-round Lloyd training is FOR, measured on clustered data.
+
+    Round-13 measurement (numpy, 2000 clustered vectors, M=8/D=8/K=64,
+    50 random queries, exact-rerank protocol):
+
+        iters=0 (first-K): distortion 30.80, recall@3 at R=5/10/25/100
+                           = 0.32/0.50/0.76/0.96
+        iters=2 (trained): distortion  9.69, recall@3 at R=5/10/25/100
+                           = 0.23/0.37/0.68/0.92
+
+    Training cuts quantization distortion 3.2x — its actual objective —
+    but LOWERS recall on strongly clustered data at every shortlist
+    size: a low-distortion codebook maps whole clusters onto shared
+    codes, so ADC distances tie across a cluster and the shortlist
+    can no longer discriminate within it (the textbook motivation for
+    IVF-PQ residual encoding, where PQ quantizes the residual after
+    coarse assignment). On UNIFORM data training improves recall
+    (0.927 -> 0.980 over 50 queries, round 12) — both claims are
+    geometry-dependent and this test pins the invariant part: trained
+    distortion < 0.5x untrained.
+    """
+    gt = _gen_module()
+    rng = np.random.default_rng(7)
+    emb, _ = gt.gen_embeddings(rng, 2000)
+    m = emb.astype(np.float64)
+    M, D, K = 8, 8, 64
+
+    def distortion(train_iters):
+        total = 0.0
+        for mi in range(M):
+            sub = m[:, mi * D:(mi + 1) * D]
+            cb = sub[:K].copy()
+            for _ in range(train_iters):
+                d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                for k in range(K):
+                    mem = sub[a == k]
+                    if len(mem):
+                        cb[k] = mem.mean(0)
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            total += d2.min(1).mean()
+        return total
+
+    untrained, trained = distortion(0), distortion(2)
+    assert trained < 0.5 * untrained, (trained, untrained)
+
+
+def test_clustered_fixture_has_planted_near_dups(clustered_sim):
+    ids, s = clustered_sim
+    # every 200th vector has a sigma-0.01 copy -> cosine ~0.9999
+    assert float(s.max()) > 0.999

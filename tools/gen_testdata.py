@@ -45,6 +45,82 @@ DOC_VOCAB = (
     "data vector join plan shard"
 ).split()
 
+# ---------------------------------------------------------------------------
+# Documents: heavy-tailed (Zipf) token distribution (round-12 verdict,
+# Next #2). The original corpus drew uniformly from the 30-word
+# DOC_VOCAB, which exhausts its freq>=2 pair structure near 18.7k BPE
+# merges — a real corpus has a long tail of rare-but-repeated words, and
+# that tail is what lets a 32k vocabulary train at min_frequency>=2.
+# Word types: the legacy DOC_VOCAB at the head ranks (so the driver's
+# shipped corpus stays in-vocabulary for the pinned tokenizer), then
+# deterministic pseudo-words; frequencies ~ rank^-ZIPF_S.
+# ---------------------------------------------------------------------------
+N_WORD_TYPES = 50_000
+ZIPF_S = 1.07
+
+
+def gen_word_types(rng) -> np.ndarray:
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words = list(DOC_VOCAB)
+    seen = set(words)
+    while len(words) < N_WORD_TYPES:
+        lens = rng.integers(3, 12, 20_000)
+        flat = letters[rng.integers(0, 26, int(lens.sum()))]
+        pos = 0
+        for ln in lens:
+            w = "".join(flat[pos : pos + ln])
+            pos += ln
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+                if len(words) == N_WORD_TYPES:
+                    break
+    return np.array(words)
+
+
+def gen_documents_texts(rng, n_doc: int) -> list[str]:
+    """Zipf-mixture documents of 12-60 words over N_WORD_TYPES types."""
+    types = gen_word_types(rng)
+    probs = np.arange(1, N_WORD_TYPES + 1, dtype=np.float64) ** -ZIPF_S
+    probs /= probs.sum()
+    nw = rng.integers(12, 60, n_doc)
+    idx = rng.choice(N_WORD_TYPES, int(nw.sum()), p=probs)
+    words = types[idx]
+    return [
+        " ".join(chunk)
+        for chunk in np.split(words, np.cumsum(nw)[:-1])
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: Gaussian-mixture cluster structure + planted near-dup
+# pairs (round-12 verdict, Next #3). Uniform random vectors make
+# LSH/IVF/PQ recall flattering (everything is equally far from
+# everything); clustered data is where trained PQ codebooks and the IVF
+# coarse quantizer earn their keep. Labels follow cluster identity so
+# label-conditioned queries see real geometry.
+# ---------------------------------------------------------------------------
+N_EMB_CLUSTERS = 32
+EMB_DIM = 64
+
+
+def gen_embeddings(rng, n_vec: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n_vec x 64 float32 vectors, int32 labels) — GMM with Zipf-ish
+    mixture weights, within-cluster sigma 0.35 vs center scale 2.0,
+    plus planted near-duplicate pairs (every 200th vector copied with
+    sigma-0.01 noise -> cosine ~0.9999)."""
+    centers = rng.normal(0, 1, (N_EMB_CLUSTERS, EMB_DIM)) * 2.0
+    w = np.arange(1, N_EMB_CLUSTERS + 1, dtype=np.float64) ** -1.0
+    w /= w.sum()
+    cid = rng.choice(N_EMB_CLUSTERS, n_vec, p=w)
+    emb = centers[cid] + rng.normal(0, 1, (n_vec, EMB_DIM)) * 0.35
+    for i in range(0, n_vec, 200):
+        j = (i + 17) % n_vec
+        if j != i:
+            emb[j] = emb[i] + rng.normal(0, 1, EMB_DIM) * 0.01
+            cid[j] = cid[i]
+    return emb.astype(np.float32), (cid % 10).astype(np.int32)
+
 EPOCH_1995 = np.datetime64("1995-01-01")
 EPOCH_2024 = np.datetime64("2024-01-01")
 
@@ -210,11 +286,7 @@ def main() -> None:
         ),
     }))
 
-    vocab = np.array(DOC_VOCAB)
-    texts = []
-    for i in range(n_doc):
-        nw = int(rng.integers(12, 60))
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), nw)]))
+    texts = gen_documents_texts(rng, n_doc)
     # duplicate + near-duplicate mass for the dedup/LSH/Jaccard queries
     # (~0.2% exact dups, ~0.1% one-word mutations), as the driver data has
     for i in range(0, n_doc, 500):
@@ -233,13 +305,11 @@ def main() -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
-    emb = rng.normal(0, 1, (n_vec, 64)).astype(np.float32)
+    emb, labels = gen_embeddings(rng, n_vec)
     write(out, "embeddings", pa.table({
         "vec_id": pa.array(range(n_vec), pa.int64()),
         "embedding": pa.array(list(emb), pa.list_(pa.float32())),
-        "label": pa.array(
-            rng.integers(0, 10, n_vec, dtype=np.int32), pa.int32()
-        ),
+        "label": pa.array(labels, pa.int32()),
     }))
 
 
