@@ -28,7 +28,7 @@ from aind_exaspim_data_transformation_spark.functions.bpe_vocab_32k import (
 
 from conftest import SF_SMALL
 
-_ALPHABET = " abcdefghijklmnopqrstuvwy"
+_ALPHABET = " abcdefghijklmnopqrstuvwxyz"
 
 
 def _chain(text: str, n_ranks: int | None = None) -> str:

@@ -7,21 +7,20 @@ writes it as a generated data module.
 
 Same training posture as ``tools/build_bpe_merges.py`` (classic BPE,
 Sennrich et al. 2016, byte level, NO pre-tokenization — spaces are
-ordinary symbols, so merges learn multi-word phrases; that is what
-lets this corpus, whose whitespace vocabulary is only 31 words,
-support a 32k vocabulary at all), and the SAME deterministic rule:
-each round merges the most frequent adjacent pair, ties broken by
-lexicographically smallest pair string.
+ordinary symbols, so merges learn multi-word phrases), and the SAME
+deterministic rule: each round merges the most frequent adjacent
+pair, ties broken by lexicographically smallest pair string.
 
-One posture difference, recorded in the artifact: training runs with
-``min_frequency=1`` (the HuggingFace-tokenizers BPETrainer default)
-instead of the Sennrich-script threshold of 2, because this synthetic
-corpus saturates its repeat structure near 18.7k merges — BPE
-compresses the 31-word random text until no adjacent pair occurs
-twice, and the freq>=2 merge count grows only logarithmically with
-corpus size (1.49M chars -> 17.0k, 3.6M -> 18.7k). Max-count-first
-selection is unchanged, so every freq>=2 merge still precedes every
-singleton merge; ``FREQ2_MERGES`` in the artifact marks the boundary.
+Training runs with ``min_frequency=1`` (the HuggingFace-tokenizers
+BPETrainer default); ``FREQ2_MERGES`` in the artifact records how
+many merges were selected at count >= 2 before any singleton merge.
+History: the pre-round-13 corpus (uniform draws over a 30-word
+vocabulary) saturated its repeat structure near 18.7k merges, leaving
+the vocabulary tail trained on singletons; the round-13 Zipf-mixture
+corpus (50k word types, rank^-1.07 frequencies — see
+``tools/gen_testdata.py``) supports the FULL 32,768 merges at
+count >= 2 (``FREQ2_MERGES == N_MERGES``), so the pinned vocabulary's
+tail is now real repeat structure, not noise.
 
 What differs is the ALGORITHM, not the result: the naive trainer
 recounts every pair over the whole corpus each round — O(rounds x
