@@ -555,7 +555,9 @@ _PQ_SUB_D2 = (
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 ).format(d=_PQ_D, a="{a}", b="{b}")
 
-def _pq_train_cte() -> tuple[str, str, str]:
+def _pq_train_cte(
+    from_clause: str = "embeddings e", elem: str | None = None
+) -> tuple[str, str, str]:
     """(CTE chain, final centroid CTE ``pcN``, final per-m centroid-
     list CTE ``pclN``) — the deterministic per-subspace Lloyd training
     the Spark side mirrors. Each round: assignment via the
@@ -569,14 +571,22 @@ def _pq_train_cte() -> tuple[str, str, str]:
     are MATERIALIZED: each round's heavy work collapses into a small
     table instead of re-inlining the whole prior chain (CLAUDE.md
     multi-round-CTE rule), while the big per-row CTEs stay single-use
-    inline."""
+    inline.
+
+    ``from_clause``/``elem`` parameterize the subvector source so the
+    SAME training chain runs over raw embeddings (q_ann_pq) or over
+    coarse-quantizer residuals (q_ann_ivfpq_residual): the source must
+    expose ``vec_id`` as alias ``e`` and ``elem`` must yield subvector
+    element ``i`` of subspace ``ms.m`` as DOUBLE."""
+    if elem is None:
+        elem = f"CAST(embedding[ms.m * {_PQ_D} + i] AS DOUBLE)"
     parts = [
         f"""ms AS MATERIALIZED (SELECT unnest(range(0, {_PQ_M})) AS m),
 dbsubs AS MATERIALIZED (
   SELECT e.vec_id, ms.m,
     list_transform(range(1, {_PQ_D} + 1),
-      i -> CAST(embedding[ms.m * {_PQ_D} + i] AS DOUBLE)) AS svec
-  FROM embeddings e CROSS JOIN ms),
+      i -> {elem}) AS svec
+  FROM {from_clause} CROSS JOIN ms),
 pc0 AS (
   SELECT m, vec_id AS k, svec AS cvec FROM dbsubs
   WHERE vec_id < {_PQ_K}),
@@ -1242,6 +1252,369 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "cid", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ with RESIDUAL encoding — the production composition of the
+# coarse quantizer and the product quantizer (the FAISS IVFPQ shape),
+# added in round 13 because the clustered-fixture measurement showed
+# exactly the textbook failure it fixes: flat PQ over clustered data
+# maps whole clusters onto shared codes (trained distortion drops 3.2x
+# but ADC ties inside a cluster, so the shortlist stops discriminating
+# — see tests/test_ann_recall.py::test_pq_training_reduces_distortion_
+# clustered). Quantizing the RESIDUAL r = v - c_cell after coarse
+# assignment re-centers every cell at the origin, so the PQ codebook's
+# resolution is spent on WITHIN-cell structure. Measured on the
+# clustered fixture (numpy sim, 50 queries, nprobe=2, recall@3 at
+# shortlist R=5/10/25/100):
+#   flat PQ, trained:     0.23 / 0.37 / 0.68 / 0.92
+#   residual PQ, trained: 0.36 / 0.49 / 0.72 / 0.95
+# — residual encoding recovers the training loss at EVERY shortlist
+# size (the nprobe=2 coarse stage caps the ceiling near 0.95); the
+# R=100 query below is pinned on the clustered fixture in
+# tests/test_ann_recall.py.
+#
+# Pipeline (all stages reuse the pinned deterministic chains):
+#   coarse = _km_centroids (K=8, 2 Lloyd rounds)   [bounded collect]
+#   r      = v - c_assign                          [map-only zip_with]
+#   PQ     = _pq_train_cte chain over residuals    [narrow shuffles]
+#   search = probe nprobe=2 cells; per-cell query residual -> ADC LUT
+#            over candidates OF THAT CELL only; shortlist R; exact
+#            rerank.
+# Scale: identical cost shape to q_ann_pq plus one broadcast join for
+# the cell id; the search side touches ~nprobe/K of the codes and the
+# LUT is Q x nprobe x M x K doubles — broadcast at any corpus scale.
+# --------------------------------------------------------------------------
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    km_chain, km_cents = _km_cte_chain()
+    pq_chain, pq_cents, pq_centlists = _pq_train_cte(
+        from_clause="rvecs e",
+        elem=f"e.rv[ms.m * {_PQ_D} + i]",
+    )
+    return f"""
+WITH {km_chain},
+rvecs AS MATERIALIZED (
+  SELECT v.vec_id, a.k AS cell,
+    list_transform(range(1, {_KM_DIM} + 1),
+      i -> v.v[i] - c.c[i]) AS rv
+  FROM vecs v JOIN afinal a USING (vec_id)
+  JOIN {km_cents} c ON a.k = c.k),
+{pq_chain},
+rcents AS (SELECT k, m, cvec FROM {pq_cents}),
+rcentlists AS (SELECT m, cl FROM {pq_centlists}),
+renc AS (
+  SELECT s.vec_id, s.m,
+    list_aggregate(
+      list_transform(cc.cl,
+        c -> struct_pack(
+          d := {_PQ_SUB_D2.format(a="s.svec", b="c.cvec")},
+          k := c.k)),
+      'min').k AS k
+  FROM dbsubs s JOIN rcentlists cc ON s.m = cc.m),
+qprobe AS (
+  SELECT vec_id AS qid, k AS cell
+  FROM (SELECT vecs.vec_id, {km_cents}.k,
+          ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                             ORDER BY {_KM_D2}, {km_cents}.k) AS rn
+        FROM vecs CROSS JOIN {km_cents}
+        WHERE vecs.vec_id < 3)
+  WHERE rn <= {_IVFPQ_NPROBE}),
+qres AS (
+  SELECT qp.qid, qp.cell,
+    list_transform(range(1, {_KM_DIM} + 1),
+      i -> v.v[i] - c.c[i]) AS rq
+  FROM qprobe qp JOIN vecs v ON qp.qid = v.vec_id
+  JOIN {km_cents} c ON qp.cell = c.k),
+rlut AS (
+  SELECT q.qid, q.cell, c.m, c.k,
+    {_PQ_SUB_D2.format(a="q.qsub", b="c.cvec")} AS qd2
+  FROM (SELECT qid, cell, ms.m,
+          list_transform(range(1, {_PQ_D} + 1),
+            i -> rq[ms.m * {_PQ_D} + i]) AS qsub
+        FROM qres CROSS JOIN ms) q
+  JOIN rcents c ON q.m = c.m),
+adc AS (
+  SELECT l.qid, e.vec_id AS cid,
+    round(list_sum(list(l.qd2 ORDER BY l.m)), 6) AS approx_d2
+  FROM renc e
+  JOIN rvecs rv ON e.vec_id = rv.vec_id
+  JOIN rlut l ON rv.cell = l.cell AND e.m = l.m AND e.k = l.k
+  WHERE l.qid <> e.vec_id
+  GROUP BY l.qid, e.vec_id),
+shortlist AS (
+  SELECT qid, cid
+  FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY approx_d2, cid) AS rn
+        FROM adc)
+  WHERE rn <= {_PQ_R}),
+reranked AS (
+  SELECT s.qid, s.cid,
+    round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+      / ({_SQL_NORM.format(a="a.embedding")}
+         * {_SQL_NORM.format(a="b.embedding")}), 6) AS cos_sim
+  FROM shortlist s JOIN embeddings a ON s.qid = a.vec_id
+                   JOIN embeddings b ON s.cid = b.vec_id)
+SELECT qid, cid, cos_sim
+FROM (SELECT qid, cid, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid) AS rn
+      FROM reranked)
+WHERE rn <= 3
+"""
+
+
+@query("q_ann_ivfpq_residual", oracle=_ivfpq_oracle())
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _km_centroids(vecs)
+    assign = _km_assign(vecs, cents)
+    # Residuals: map-only elementwise subtraction against the broadcast
+    # coarse codebook (bit-identical to the oracle's v[i] - c[i]).
+    rvecs = (
+        vecs.join(assign, "vec_id")
+        .join(F.broadcast(cents), "k")
+        .select(
+            "vec_id",
+            F.col("k").alias("cell"),
+            F.zip_with("v", "c", lambda x, y: x - y).alias("rv"),
+        )
+    )
+
+    # --- PQ training on residuals (the q_ann_pq chain, residual input).
+    def _codebook_from(pairs):
+        book = {}
+        for m in range(_PQ_M):
+            rows = sorted((k, v) for (mm, k), v in pairs if mm == m)
+            book[m] = (
+                np.array([k for k, _ in rows], dtype=np.int64),
+                np.array([v for _, v in rows], dtype=np.float64),
+            )
+        return book
+
+    init_rows = sorted(
+        rvecs.where(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "rv")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebook = _codebook_from(
+        [
+            (
+                (m, int(r["vec_id"])),
+                [float(x) for x in r["rv"][m * _PQ_D : (m + 1) * _PQ_D]],
+            )
+            for r in init_rows
+            for m in range(_PQ_M)
+        ]
+    )
+
+    def _assign_fn(book):
+        def fn(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                rvs = np.array(pdf["rv"].tolist(), dtype=np.float64)
+                out = []
+                for m in range(_PQ_M):
+                    xs = rvs[:, m * _PQ_D : (m + 1) * _PQ_D]
+                    ks, cs = book[m]
+                    sq = (xs[:, None, :] - cs[None, :, :]) ** 2
+                    d2 = sq[..., 0].copy()
+                    for j in range(1, _PQ_D):
+                        d2 = d2 + sq[..., j]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": pdf["vec_id"].to_numpy(),
+                                "m": np.full(n, m, dtype=np.int32),
+                                "k": ks[np.argmin(d2, axis=1)],
+                                "svec": xs.tolist(),
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        return fn
+
+    _ASSIGN_SCHEMA = "vec_id long, m int, k long, svec array<double>"
+    for _ in range(_PQ_ITERS):
+        assigned = rvecs.select("vec_id", "rv").mapInPandas(
+            _assign_fn(codebook), _ASSIGN_SCHEMA
+        )
+        dims = assigned.select(
+            "m", "k", F.posexplode("svec").alias("pos", "val")
+        ).select("m", "k", (F.col("pos") + 1).alias("dim"), "val")
+        means = dims.groupBy("m", "k", "dim").agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("val")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        cvecs = means.groupBy("m", "k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        codebook = _codebook_from(
+            [
+                ((int(r["m"]), int(r["k"])), list(r["cvec"]))
+                for r in cvecs.collect()
+            ]
+        )
+
+    rcents = spark.createDataFrame(
+        [
+            (int(k), int(m), [float(x) for x in codebook[m][1][i]])
+            for m in range(_PQ_M)
+            for i, k in enumerate(codebook[m][0])
+        ],
+        "k long, m int, cvec array<double>",
+    )
+
+    def encode(batches):
+        book = codebook
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            rvs = np.array(pdf["rv"].tolist(), dtype=np.float64)
+            codes = []
+            for m in range(_PQ_M):
+                xs = rvs[:, m * _PQ_D : (m + 1) * _PQ_D]
+                ks, cs = book[m]
+                sq = (xs[:, None, :] - cs[None, :, :]) ** 2
+                d2 = sq[..., 0].copy()
+                for j in range(1, _PQ_D):
+                    d2 = d2 + sq[..., j]
+                codes.append(ks[np.argmin(d2, axis=1)])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _PQ_M),
+                    "m": np.tile(np.arange(_PQ_M), n),
+                    "k": np.stack(codes, axis=1).reshape(-1),
+                }
+            )
+
+    enc = rvecs.select("vec_id", "rv").mapInPandas(
+        encode, "vec_id long, m int, k long"
+    )
+
+    # --- Search: probe nprobe cells, per-cell query residual LUT, ADC
+    # over that cell's candidates only, shortlist, exact rerank.
+    d2c = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "k")
+    probes = (
+        vecs.where(F.col("vec_id") < 3)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("qid"), "k", d2c.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("qid", F.col("k").alias("cell"))
+    )
+    qres = (
+        probes.join(
+            vecs.select(F.col("vec_id").alias("qid"), "v"), "qid"
+        )
+        .join(
+            F.broadcast(cents.select(F.col("k").alias("cell"), "c")),
+            "cell",
+        )
+        .select(
+            "qid",
+            "cell",
+            F.zip_with("v", "c", lambda x, y: x - y).alias("rq"),
+        )
+    )
+    qsub = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: F.struct(
+                m.alias("m"),
+                F.slice(F.col("rq"), m * _PQ_D + 1, _PQ_D).alias("qsub"),
+            ),
+        )
+    )
+    rlut = (
+        qres.select("qid", "cell", qsub.alias("s"))
+        .select("qid", "cell", F.col("s.m").alias("m"),
+                F.col("s.qsub").alias("qsub"))
+        .join(F.broadcast(rcents), "m")
+        .select(
+            "qid", "cell", "m", "k",
+            _pq_sub_d2("qsub", "cvec").alias("qd2"),
+        )
+    )
+    cells = rvecs.select("vec_id", "cell")
+    adc = (
+        enc.join(cells, "vec_id")
+        .join(F.broadcast(rlut), ["cell", "m", "k"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("m"), F.col("qd2")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["qd2"],
+                ),
+                6,
+            ).alias("approx_d2")
+        )
+    )
+    w_sl = Window.partitionBy("qid").orderBy("approx_d2", "cid")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_sl))
+        .where(F.col("rn") <= _PQ_R)
+        .select("qid", "cid")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    reranked = (
+        shortlist.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                _dot("qe", "ce") / (_norm("qe") * _norm("ce")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("cid")
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= 3)
         .select("qid", "cid", "cos_sim")
     )

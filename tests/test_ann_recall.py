@@ -231,3 +231,19 @@ def test_clustered_fixture_has_planted_near_dups(clustered_sim):
     ids, s = clustered_sim
     # every 200th vector has a sigma-0.01 copy -> cosine ~0.9999
     assert float(s.max()) > 0.999
+
+
+def test_ivfpq_residual_recall_clustered(spark, clustered_dir, clustered_sim):
+    # Round 13: IVF-PQ with residual encoding — measured 1.00 on the 3
+    # query vectors (nprobe=2, R=100 + exact rerank). The numpy R-sweep
+    # behind the design (similarity_q.py) shows residual-trained PQ
+    # beats flat-trained PQ at EVERY shortlist size on this geometry.
+    ids, s = clustered_sim
+    assert (
+        _recall_dir(spark, ids, s, "q_ann_ivfpq_residual", 3, clustered_dir)
+        >= 0.8
+    )
+
+
+def test_ivfpq_residual_recall_uniform(spark, sim_matrix):
+    assert _recall_at_3(spark, sim_matrix, "q_ann_ivfpq_residual", 3) >= 0.8
