@@ -53,10 +53,19 @@ def _last_sampled_round() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path, encoding="utf-8") as fh:
-                names = json.load(fh).keys()
+                entries = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in names:
+        if not isinstance(entries, dict):
+            continue
+        for name, rec in entries.items():
+            # A recorded FAILURE does not count as "sampled": keep the
+            # query at the front of the rotation so the driver re-checks
+            # it next round instead of burying it for ~3 rounds.
+            if isinstance(rec, dict) and (
+                rec.get("err") or rec.get("hash_match") is False
+            ):
+                continue
             last[name] = max(last.get(name, -1), rnd)
     return last
 

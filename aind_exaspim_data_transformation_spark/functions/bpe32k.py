@@ -195,8 +195,17 @@ def sql_apply_merges32k(col_expr: str, n_ranks: int | None = None) -> str:
         _sql_quote(chr(PUA32_BASE + rank) + pair)
         for rank, pair in enumerate(PAIRS[:limit])
     )
+    # Mirror apply_merges' input contract (round-13 advice): the Spark
+    # side raises on code points >= U+F0000 (they would alias merged
+    # tokens); the oracle must fail the same way, not silently encode.
+    guarded = (
+        f"CASE WHEN regexp_matches({col_expr}, "
+        r"'[\x{F0000}-\x{10FFFF}]') "
+        f"THEN error('bpe32k input contains code points >= U+F0000') "
+        f"ELSE {col_expr} END"
+    )
     return (
-        f"list_reduce(list_prepend({col_expr}, [{entries}]), "
+        f"list_reduce(list_prepend({guarded}, [{entries}]), "
         "(acc, mg) -> replace(acc, substr(mg, 2), substr(mg, 1, 1)))"
     )
 

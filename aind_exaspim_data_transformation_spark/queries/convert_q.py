@@ -14,6 +14,7 @@ trips".
 
 from __future__ import annotations
 
+import glob as glob_module
 import os
 import shutil
 import tempfile
@@ -245,8 +246,24 @@ def q_zarr_roundtrip_quarantine(
     )
     ims = os.path.join(base, "tile_q.ims")
     store = os.path.join(base, "roundtrip.zarr")
-    if os.path.isdir(store):
-        shutil.rmtree(store)
+    # Round-13 advice: remove the WHOLE per-PID dir at entry (not just
+    # the store subdir) so repeated sessions don't accumulate IMS-sized
+    # scratch, and a recycled PID never inherits a crashed run's bytes.
+    # Best-effort sweep of siblings whose owning process is gone.
+    if os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+    for stale in glob_module.glob(
+        os.path.join(tempfile.gettempdir(), "zarr_oracle_quarantine_*")
+    ):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+            os.kill(pid, 0)  # raises if no such process
+        except ValueError:
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid - leave it
     os.makedirs(base, exist_ok=True)
     zz, yy, xx = np.meshgrid(
         np.arange(_QN, dtype=np.int64),

@@ -240,3 +240,32 @@ def test_encode_rejects_pua_input():
             B.apply_merges(poison)
     # Boundary: the last pre-PUA code point is still legal input.
     assert B.token_count("ab\U000EFFFF") >= 1
+
+
+def test_sql_fold_rejects_pua_input():
+    # Round-13 advice: the DuckDB oracle twin must mirror the Spark
+    # side's input contract — a plane-15/16 code point fails the oracle
+    # loudly instead of silently encoding while Spark hard-fails.
+    import pytest
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS text",
+        [["fine", "poison\U000F0000"]],
+    )
+    with pytest.raises(Exception, match="U\\+F0000"):
+        con.execute(
+            f"SELECT {B.sql_token_count32k('text', 8)} FROM t"
+        ).fetchall()
+    # Clean input through the guarded fold still matches the encoder.
+    con.execute("DELETE FROM t WHERE text LIKE 'poison%'")
+    (got,) = con.execute(
+        f"SELECT {B.sql_token_count32k('text', 8)} FROM t"
+    ).fetchone()
+    assert got == B.token_count("fine", 8)
+    # Boundary: last pre-PUA code point passes the SQL guard too.
+    con.execute("UPDATE t SET text = 'ab' || chr(983039)")  # U+EFFFF
+    (got,) = con.execute(
+        f"SELECT {B.sql_token_count32k('text', 8)} FROM t"
+    ).fetchone()
+    assert got >= 1

@@ -43,7 +43,12 @@ import pyspark
 PYSPARK_HOME = pyspark.__path__[0]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-STRAGGLER_MS = 25_000
+# 60 s stall (round-13 advice): the kill-not-wait assertion compares
+# elapsed against 0.9x the stall, so the margin must absorb this host's
+# documented 3-6x slow windows. A passing run never waits the stall out
+# (the speculative copy finishes in seconds and the original is
+# killed), so the larger value costs nothing on success.
+STRAGGLER_MS = 60_000
 
 
 def _free_port() -> int:
@@ -245,7 +250,9 @@ def test_speculative_duplicate_is_byte_identical(tmp_path, spark):
 
     # 2. The original straggler was killed, not waited out, and the job
     # saw no error rows (the killed attempt's stats never surface).
-    assert result["elapsed"] < STRAGGLER_MS / 1000.0, result
+    # 0.9x leaves the kill-not-wait claim intact while decoupling it
+    # from absolute host speed (this VM swings 3-6x; see CLAUDE.md).
+    assert result["elapsed"] < STRAGGLER_MS / 1000.0 * 0.9, result
     stage0 = result["stats"]["stages"][0]
     assert int(stage0.get("n_errors", 0)) == 0, stage0
     assert int(stage0.get("n_shards", 0)) == 64, stage0
