@@ -260,6 +260,11 @@ def q_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q7-style bi-nation volume: revenue between two nation pairs by year.
+# The pair is selected by n_nationkey (3, 8), not n_name: nation NAMES
+# are a generator detail (the driver's testdata ships NATION_i, the
+# repo's gen_testdata.py ships the classic names), and the round-13
+# sweep showed the name filter silently emptying the query on the
+# latter. Keys 3 and 8 exist in both; names remain the output columns.
 # --------------------------------------------------------------------------
 @query(
     "q_nation_pair_volume",
@@ -273,9 +278,9 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE sn.n_name IN ('NATION_3', 'NATION_8')
-  AND cn.n_name IN ('NATION_3', 'NATION_8')
-  AND sn.n_name <> cn.n_name
+WHERE sn.n_nationkey IN (3, 8)
+  AND cn.n_nationkey IN (3, 8)
+  AND sn.n_nationkey <> cn.n_nationkey
 GROUP BY sn.n_name, cn.n_name, year(o_orderdate)
 """,
 )
@@ -287,17 +292,17 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     sn = nation.select(
         F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
-    ).where(F.col("supp_nation").isin("NATION_3", "NATION_8"))
+    ).where(F.col("sk").isin(3, 8))
     cn = nation.select(
         F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
-    ).where(F.col("cust_nation").isin("NATION_3", "NATION_8"))
+    ).where(F.col("ck").isin(3, 8))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sk"))
         .join(F.broadcast(cn), cust.c_nationkey == F.col("ck"))
-        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .where(F.col("sk") != F.col("ck"))
         .groupBy(
             "supp_nation", "cust_nation", F.year("o_orderdate").alias("yr")
         )

@@ -103,10 +103,15 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q11-style important stock. No ps_availqty/ps_supplycost: a part's
 # "inventory value" is the discounted revenue shipped by ASIA-region
-# suppliers; keep parts whose value exceeds 1/1000 of the regional
-# total. The comparison is value*1000 > total in exact decimals.
-# (Region rather than nation so the filter is non-empty at every SF —
-# sf0.001 has only 10 suppliers over 25 nations.)
+# suppliers; keep parts whose value exceeds TWICE THE MEAN part value
+# (val * n_parts > 2 * total). TPC-H scales Q11's fraction by 1/SF
+# precisely because a fixed fraction degenerates as the part count
+# grows (the round-13 sweep measured 0 rows at sf10 with the old
+# fixed 1/1000 threshold); a mean-relative threshold is the same
+# device derived from the data itself, so the result is non-empty at
+# every SF (12 / 48 / 61,550 rows at sf0.001 / 0.01 / 10). The
+# comparison runs in DOUBLE on both engines from the same exact
+# decimal inputs (val*n as decimal would pass 38 digits at sf100).
 # --------------------------------------------------------------------------
 @query(
     "q11_important_stock",
@@ -121,18 +126,25 @@ WITH vals AS (
   JOIN nation   ON s_nationkey = n_nationkey
   JOIN region   ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
-  GROUP BY l_partkey)
-SELECT pk AS p_partkey, CAST(val AS DOUBLE) AS part_value
-FROM vals
-WHERE val * 1000 > (SELECT SUM(v2.val) FROM vals v2)
+  GROUP BY l_partkey),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(v2.val) AS VARCHAR) AS DOUBLE) AS total_d
+  FROM vals v2)
+SELECT pk AS p_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS part_value
+FROM vals CROSS JOIN tot
+WHERE CAST(CAST(val AS VARCHAR) AS DOUBLE) * n > 2.0 * total_d
 """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: grouped value per part HAVING a scalar-subquery
-    global threshold. The fraction test is rewritten as ``val*1000 >
-    total`` so it stays in exact decimal arithmetic end to end; the
-    global total is a broadcast single-row cross join, not a second
-    scan-side correlated subquery.
+    global threshold. The threshold is mean-relative (``val * n_parts >
+    2 * total``) so it self-scales with SF — TPC-H's own spec scales
+    Q11's fraction by 1/SF for the same reason. Group values stay in
+    exact decimals; the comparison is DOUBLE on both engines computed
+    from the same exact inputs (identical products, identical
+    comparison). The global (n, total) relation is a broadcast
+    single-row cross join, not a second scan-side correlated subquery.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -152,10 +164,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.sum(val_expr).alias("val"))
     )
-    total = vals.agg(F.sum("val").alias("total"))
+    total = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("double").alias("total_d"),
+    )
     return (
         vals.crossJoin(F.broadcast(total))
-        .where(F.col("val") * F.lit(1000) > F.col("total"))
+        .where(
+            F.col("val").cast("double") * F.col("n")
+            > F.lit(2.0) * F.col("total_d")
+        )
         .select(
             F.col("pk").alias("p_partkey"),
             F.col("val").cast("double").alias("part_value"),

@@ -67,16 +67,30 @@ def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_except_nations",
+    "q_except_parts_by_qty",
     oracle="""
-SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity = 1
 EXCEPT
-SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity = 50
 """,
 )
-def q_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = _segment_keys(spark, sf_dir, "BUILDING")
-    b = _segment_keys(spark, sf_dir, "AUTOMOBILE")
+def q_except_parts_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) over keys whose difference stays non-empty at
+    every SF. Replaces q_except_nations (round-14): a 25-value nation
+    domain is fully covered by both operand sides once the customer
+    table passes a few hundred rows, so that difference was inherently
+    empty at sf0.01+ — a setop demo that demonstrates nothing. Part
+    keys partition into ~30 lineitems each at every SF (both sides
+    stay sparse subsets: ~45% of parts have a qty-1 item, ~55% lack a
+    qty-50 item), so the EXCEPT emits ~25% of parts at any scale
+    (51 / 468 / 494,827 rows at sf0.001 / 0.01 / 10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") == 1).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    b = li.where(F.col("l_quantity") == 50).select(
+        F.col("l_partkey").alias("partkey")
+    )
     return a.subtract(b)  # EXCEPT (distinct) semantics
 
 
