@@ -281,13 +281,43 @@ def _child_conversion(cpus: int, reps: int) -> dict:
             )
             pyr_runs.append(time.monotonic() - t0)
             pyr_bytes = pyr["stages"][0]["bytes_read"]
+
+    io_probes["pre_noise"] = _io_probe_ms()
+
+    # tensor_to_zarr_4GB_noise (round-13 verdict, Next #7): the SAME
+    # pipeline on the calibrated shot-noise source (~2:1 compressible,
+    # the realistic-microscopy regime) so the committed bench tracks
+    # BOTH conversion bounds every round — the ramp row flatters the
+    # codec path ~65:1. Runs LAST so the two legacy rows' measurement
+    # context is byte-identical to r<=13 (cross-round comparability).
+    noise_runs: list[float] = []
+    noise_bytes = 0
+    for _ in range(reps):
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.monotonic()
+            nz = convert_to_zarr(
+                spark,
+                ConvertJobSettings(
+                    input_source="synthnoise://2048,1024,1024,1",
+                    output_location=os.path.join(tmp, "noise.zarr"),
+                    chunk_shape=(64, 64, 64),
+                    shard_shape=(128, 128, 128),
+                    translate_pyramid=True,
+                    codec="zstd",
+                    codec_level=3,
+                ),
+            )
+            noise_runs.append(time.monotonic() - t0)
+            noise_bytes = nz["stages"][0]["bytes_read"]
     spark.stop()
     io_probes["end"] = _io_probe_ms()
     return {
         "conv_runs": conv_runs,
         "pyr_runs": pyr_runs,
+        "noise_runs": noise_runs,
         "conv_bytes": conv_bytes,
         "pyr_bytes": pyr_bytes,
+        "noise_bytes": noise_bytes,
         "io_probes_ms": io_probes,
         "env": env,
     }
@@ -367,6 +397,9 @@ def main() -> None:
         medians[name] = round(statistics.median(pooled), 3)
         spread[name] = [round(min(pooled), 3), round(max(pooled), 3)]
 
+    # `value` stays the sum of the r<=13 row set so it compares across
+    # rounds; the realistic-entropy row is reported alongside, not
+    # summed in (round-13 verdict, Next #7).
     value = round(sum(timings.values()), 3)
     value_median = round(sum(medians.values()), 3)
     conversion_gbps = round(
@@ -375,6 +408,19 @@ def main() -> None:
     pyramid_compute_gbps = round(
         cjvms[0]["pyr_bytes"] / 1e9 / min(pyr_pooled), 4
     )
+    noise_pooled = [s for j in cjvms for s in j.get("noise_runs", [])]
+    if noise_pooled:
+        name = "tensor_to_zarr_4GB_noise"
+        timings[name] = round(min(noise_pooled), 3)
+        medians[name] = round(statistics.median(noise_pooled), 3)
+        spread[name] = [
+            round(min(noise_pooled), 3), round(max(noise_pooled), 3)
+        ]
+        conversion_noise_gbps = round(
+            cjvms[0]["noise_bytes"] / 1e9 / min(noise_pooled), 4
+        )
+    else:
+        conversion_noise_gbps = None
 
     probes = [j["env"].get("cpu_probe_ms") for j in qjvms + cjvms]
     probes = [p for p in probes if p]
@@ -395,6 +441,9 @@ def main() -> None:
             {
                 "conv_runs": [round(s, 3) for s in j["conv_runs"]],
                 "pyr_runs": [round(s, 3) for s in j["pyr_runs"]],
+                "noise_runs": [
+                    round(s, 3) for s in j.get("noise_runs", [])
+                ],
                 "cpu_probe_ms": j["env"].get("cpu_probe_ms"),
                 "io_probe_ms": j.get("io_probes_ms"),
             }
@@ -444,6 +493,9 @@ def main() -> None:
             " value_probe_scaled rescales to the r10 reference cpu-probe"
             " speed — if value drifts but value_probe_scaled does not,"
             " the host was slow, not the code."
+            " tensor_to_zarr_4GB_noise (r14+) is reported in queries/"
+            "conversion_noise_gbps but EXCLUDED from value so the"
+            " headline remains comparable to earlier rounds."
         ),
     }
     with open(diag_path, "w", encoding="utf-8") as fh:
@@ -464,6 +516,7 @@ def main() -> None:
                     else None
                 ),
                 "conversion_gbps": conversion_gbps,
+                "conversion_noise_gbps": conversion_noise_gbps,
                 "pyramid_compute_gbps": pyramid_compute_gbps,
                 "n_query_jvms": N_QUERY_JVMS,
                 "n_conversion_jvms": N_CONV_JVMS,
