@@ -345,6 +345,15 @@ WHERE rn <= 3
 """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(spark, sf_dir, n_queries=5, k=3)
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+) -> DataFrame:
+    """Parameterized LSH top-k (round-14: the recall-at-scale harness
+    needs recall@3/@10 over wider query sets; the registered query is
+    this with (5, 3) — identical plan)."""
     # T x B x D fold evaluations per row are CPU-bound; a small
     # single-row-group embeddings file must fan out first.
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
@@ -393,7 +402,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tc"),
     ).select("vec_id", F.col("tc.t").alias("t"), F.col("tc.code").alias("code"))
-    qcodes = codes.where(F.col("vec_id") < 5).select(
+    qcodes = codes.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), "t", "code"
     )
     cand = (
@@ -403,7 +412,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("cid"))
         .distinct()
     )
-    q = emb.where(F.col("vec_id") < 5).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     c = emb.select(
@@ -423,7 +432,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= k)
         .select("qid", "cid", "cos_sim")
     )
 
@@ -709,6 +718,21 @@ def _pq_sub_d2(a: str, b: str) -> Column:
 
 @query("q_ann_pq", oracle=_PQ_ORACLE)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_pq_topk(
+        spark, sf_dir, n_queries=3, k=3, shortlist_r=_PQ_R
+    )
+
+
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    k: int,
+    shortlist_r: int = _PQ_R,
+) -> DataFrame:
+    """Parameterized flat-PQ top-k (round-14 recall-at-scale harness;
+    the registered query is this with (3, 3, R=100) — identical plan).
+    """
     # The numpy encode kernel below is CPU-bound per row; fan the scan
     # out so every core gets an Arrow batch.
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
@@ -883,7 +907,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = emb.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id long, m int, k long"
     )
-    qsubs = subs(emb.where(F.col("vec_id") < 3), "vec_id", "qid", "qvec")
+    qsubs = subs(
+        emb.where(F.col("vec_id") < n_queries), "vec_id", "qid", "qvec"
+    )
     lut = qsubs.join(F.broadcast(cents), "m").select(
         "qid", "m", "k", _pq_sub_d2("qvec", "cvec").alias("qd2")
     )
@@ -910,10 +936,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sl = Window.partitionBy("qid").orderBy("approx_d2", "cid")
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w_sl))
-        .where(F.col("rn") <= _PQ_R)
+        .where(F.col("rn") <= shortlist_r)
         .select("qid", "cid")
     )
-    q = emb.where(F.col("vec_id") < 3).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     c = emb.select(
@@ -935,7 +961,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         reranked.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= k)
         .select("qid", "cid", "cos_sim")
     )
 
@@ -1201,6 +1227,21 @@ WHERE rn <= 3"""
 
 @query("q_ann_ivf", oracle=_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivf_topk(
+        spark, sf_dir, n_queries=5, k=3, nprobe=_IVF_NPROBE
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    k: int,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """Parameterized IVF top-k (round-14 recall-at-scale harness; the
+    registered query is this with (5, 3, nprobe=3) — identical plan).
+    """
     # Same CPU-bound fan-out as q_kmeans_embeddings (assignment folds).
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     vecs = emb.select(
@@ -1218,11 +1259,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_probe = Window.partitionBy("qid").orderBy("d2", "k")
     probes = (
-        vecs.where(F.col("vec_id") < 5)
+        vecs.where(F.col("vec_id") < n_queries)
         .crossJoin(F.broadcast(cents))
         .select(F.col("vec_id").alias("qid"), "k", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= _IVF_NPROBE)
+        .where(F.col("rn") <= nprobe)
         .select("qid", F.col("k").alias("cluster"))
     )
     cand = (
@@ -1232,7 +1273,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("cid"))
         .distinct()
     )
-    q = emb.where(F.col("vec_id") < 5).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     c = emb.select(
@@ -1252,7 +1293,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= k)
         .select("qid", "cid", "cos_sim")
     )
 
@@ -1372,6 +1413,23 @@ WHERE rn <= 3
 
 @query("q_ann_ivfpq_residual", oracle=_ivfpq_oracle())
 def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivfpq_residual_topk(
+        spark, sf_dir, n_queries=3, k=3,
+        nprobe=_IVFPQ_NPROBE, shortlist_r=_PQ_R,
+    )
+
+
+def ann_ivfpq_residual_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    k: int,
+    nprobe: int = _IVFPQ_NPROBE,
+    shortlist_r: int = _PQ_R,
+) -> DataFrame:
+    """Parameterized IVF-PQ-residual top-k (round-14 recall-at-scale
+    harness; the registered query is this with (3, 3, nprobe=2,
+    R=100) — identical plan)."""
     import numpy as np
     import pandas as pd
 
@@ -1528,11 +1586,11 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_probe = Window.partitionBy("qid").orderBy("d2", "k")
     probes = (
-        vecs.where(F.col("vec_id") < 3)
+        vecs.where(F.col("vec_id") < n_queries)
         .crossJoin(F.broadcast(cents))
         .select(F.col("vec_id").alias("qid"), "k", d2c.alias("d2"))
         .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= _IVFPQ_NPROBE)
+        .where(F.col("rn") <= nprobe)
         .select("qid", F.col("k").alias("cell"))
     )
     qres = (
@@ -1590,10 +1648,10 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sl = Window.partitionBy("qid").orderBy("approx_d2", "cid")
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w_sl))
-        .where(F.col("rn") <= _PQ_R)
+        .where(F.col("rn") <= shortlist_r)
         .select("qid", "cid")
     )
-    q = emb.where(F.col("vec_id") < 3).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     c = emb.select(
@@ -1615,6 +1673,6 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         reranked.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= k)
         .select("qid", "cid", "cos_sim")
     )

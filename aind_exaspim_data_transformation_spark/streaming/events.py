@@ -85,10 +85,13 @@ def read_events_stream(
 
 
 def stream_tumbling_counts(
-    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event type."""
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -107,9 +110,13 @@ def stream_tumbling_counts(
     )
 
 
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Watermarked session windows (15-minute gap) per user."""
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
@@ -124,14 +131,38 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup on event_id within the watermark horizon."""
-    ev = read_events_stream(spark, sf_dir)
-    return ev.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+def stream_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: with a
+    plain ``dropDuplicates(["event_id"])`` the watermark never evicts
+    dedup state unless the event-time column is itself part of the key
+    list, so state grows with STREAM LENGTH — the round-14 streaming
+    scale sweep measured exactly that (state = all 10M keys after the
+    full replay, ``numRowsDroppedByWatermark = 0`` every batch). The
+    WithinWatermark form ages each key out once the watermark passes
+    its event time + delay: state is O(keys in the horizon + one
+    in-flight batch), the only shape that survives an unbounded
+    stream. Semantics: duplicates are suppressed when they arrive
+    within the watermark delay of the first occurrence — the standard
+    production contract (a duplicate arriving later than the horizon
+    would also be beyond the source's replay window); global exact
+    dedup over all history is the batch path (queries/dedup_q.py).
+    """
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    return ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def stream_stateful_user_stats(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, value-sum in cents) kept in the state store. The
@@ -142,7 +173,9 @@ def stream_stateful_user_stats(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    ev = read_events_stream(
+        spark, sf_dir, max_files_per_trigger
+    ).withWatermark("ts", "2 hours")
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
