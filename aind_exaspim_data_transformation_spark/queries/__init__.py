@@ -34,6 +34,10 @@ from . import (  # noqa: F401  (import for registration side effects)
     tpch_tail_q,
     udf_q,
     windows,
+    # Imported last ON PURPOSE (not alphabetical): registry order is
+    # the driver-gate rotation's tie-break, and new queries must queue
+    # BEHIND the older never-sampled names (round-14).
+    similarity_adaptive_q,
 )
 from .registry import ORACLES, QUERIES, query
 

@@ -716,6 +716,38 @@ def _pq_sub_d2(a: str, b: str) -> Column:
     )
 
 
+_PQ_ADAPTIVE_DIV = 2000  # production dial: shortlist R = max(_PQ_R,
+# N // 2000) — R=100 up to 200k vectors, 1000 at 2M. Floor division on
+# a non-negative count matches DuckDB's `//`.
+
+
+def _adc_shortlist(
+    adc: DataFrame, emb: DataFrame, shortlist_r: int, adaptive_r: bool
+) -> DataFrame:
+    """Top-R ADC shortlist per query. With ``adaptive_r`` the bound is
+    the in-plan dial max(shortlist_r, N // 2000): a 1-row count
+    aggregate broadcast onto the ranked candidates (no shuffle; the
+    count scan is column-pruned to nothing by Parquet row-group
+    stats)."""
+    w_sl = Window.partitionBy("qid").orderBy("approx_d2", "cid")
+    ranked = adc.withColumn("rn", F.row_number().over(w_sl))
+    if adaptive_r:
+        r_df = emb.agg(
+            F.greatest(
+                F.lit(shortlist_r).cast("long"),
+                F.floor(
+                    F.count(F.lit(1)) / F.lit(_PQ_ADAPTIVE_DIV)
+                ).cast("long"),
+            ).alias("r_dial")
+        )
+        return (
+            ranked.crossJoin(F.broadcast(r_df))
+            .where(F.col("rn") <= F.col("r_dial"))
+            .select("qid", "cid")
+        )
+    return ranked.where(F.col("rn") <= shortlist_r).select("qid", "cid")
+
+
 @query("q_ann_pq", oracle=_PQ_ORACLE)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(
@@ -729,10 +761,18 @@ def ann_pq_topk(
     n_queries: int,
     k: int,
     shortlist_r: int = _PQ_R,
+    adaptive_r: bool = False,
 ) -> DataFrame:
     """Parameterized flat-PQ top-k (round-14 recall-at-scale harness;
     the registered query is this with (3, 3, R=100) — identical plan).
-    """
+
+    ``adaptive_r=True`` replaces the literal shortlist bound with the
+    in-plan production dial R = max(R, N // 2000) computed from the
+    corpus count (a broadcast 1-row cross join — no extra shuffle):
+    the r14 recall-at-scale sweep measured fixed R=100 decaying from
+    0.96 recall@3 at 500 vectors to 0.15 at 2M while R=N/2000 holds
+    the floor, so production search must scale the shortlist with the
+    corpus, not pin it."""
     # The numpy encode kernel below is CPU-bound per row; fan the scan
     # out so every core gets an Arrow batch.
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
@@ -933,12 +973,7 @@ def ann_pq_topk(
             ).alias("approx_d2")
         )
     )
-    w_sl = Window.partitionBy("qid").orderBy("approx_d2", "cid")
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(w_sl))
-        .where(F.col("rn") <= shortlist_r)
-        .select("qid", "cid")
-    )
+    shortlist = _adc_shortlist(adc, emb, shortlist_r, adaptive_r)
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -1426,10 +1461,12 @@ def ann_ivfpq_residual_topk(
     k: int,
     nprobe: int = _IVFPQ_NPROBE,
     shortlist_r: int = _PQ_R,
+    adaptive_r: bool = False,
 ) -> DataFrame:
     """Parameterized IVF-PQ-residual top-k (round-14 recall-at-scale
     harness; the registered query is this with (3, 3, nprobe=2,
-    R=100) — identical plan)."""
+    R=100) — identical plan). ``adaptive_r`` switches the shortlist
+    bound to the in-plan max(R, N // 2000) dial (see ann_pq_topk)."""
     import numpy as np
     import pandas as pd
 
@@ -1645,12 +1682,7 @@ def ann_ivfpq_residual_topk(
             ).alias("approx_d2")
         )
     )
-    w_sl = Window.partitionBy("qid").orderBy("approx_d2", "cid")
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(w_sl))
-        .where(F.col("rn") <= shortlist_r)
-        .select("qid", "cid")
-    )
+    shortlist = _adc_shortlist(adc, emb, shortlist_r, adaptive_r)
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

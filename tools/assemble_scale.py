@@ -46,7 +46,20 @@ def _samples(row: dict) -> tuple[list[float], list[float]]:
 
 def main() -> int:
     runs = []
-    for path in sys.argv[1:]:
+    extras: list[tuple[str, str]] = []
+    paths: list[str] = []
+    argv = sys.argv[1:]
+    while argv:
+        a = argv.pop(0)
+        if a == "--extra":
+            # --extra section_name=artifact.json embeds that artifact
+            # verbatim as a top-level section (r14: streaming sweep +
+            # ANN recall results ride in the same SCALE artifact).
+            name, _, p = argv.pop(0).partition("=")
+            extras.append((name, p))
+        else:
+            paths.append(a)
+    for path in paths:
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 if line.startswith('{"sf_dir"'):
@@ -131,6 +144,10 @@ def main() -> int:
                 out["headline_ratio_summary"] = dict(
                     summary, pair=f"{hi}_over_{lo}"
                 )
+
+    for name, p in extras:
+        with open(p, encoding="utf-8") as fh:
+            out[name] = json.load(fh)
 
     json.dump(out, sys.stdout, indent=1)
     print()
