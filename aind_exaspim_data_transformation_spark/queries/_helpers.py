@@ -156,6 +156,28 @@ def fan_out_small_scan(df):
     return df
 
 
+def fan_out_grouped(df, *keys: str):
+    """Explicit keyed repartition before a grouped PYTHON stage
+    (applyInPandas / pandas-UDAF window), round 14 guide §2/§4.
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES
+    (parallelismFirst still floors at minPartitionSize=1MB), which is
+    right for JVM aggregation but wrong for a stage whose cost is
+    per-GROUP Python work: at bench scale the grouped-UDF shuffle
+    coalesced to 2 tasks and serialized ~100k Python group calls onto
+    two cores (measured: applyInPandas 17.2s -> 4.0s, pandas-window
+    28.0s -> 1.6s at sf0.1 after this repartition). An explicit
+    repartition(N, key) is REPARTITION_BY_NUM, which AQE never
+    coalesces, and it hash-partitions on the same key the downstream
+    groupBy/window needs, so it REPLACES that exchange rather than
+    adding one (plan keeps a single Exchange). N comes from
+    spark.sql.shuffle.partitions — the deployment's scale dial (local
+    default = core count; clusters set 2-3x total cores), so the
+    partitioning stays scale-adaptive rather than a local constant."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def top_element_count(arr: Column) -> Column:
     """Count of the most frequent element of a string array, computed as
     the longest run of a SORTED copy (array_sort + single aggregate

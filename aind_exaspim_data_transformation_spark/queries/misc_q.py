@@ -271,13 +271,24 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    # SPLIT the exact-distinct aggregate from the sketch aggregates
+    # (round 14, guide §2.3/§5). Mixed in one agg, Catalyst's distinct
+    # rewrite keys the PARTIAL aggregate on (l_returnflag, l_orderkey) —
+    # so every sketch buffer (16 KB HLL at rsd=0.01 + three percentile
+    # maps) is built once per ORDERKEY (~150k groups at sf0.1, GBs of
+    # buffers through the exchange): measured 133 s at sf0.1. Split into
+    # two aggregations (3 groups each) joined on l_returnflag: 3.6 s,
+    # identical results. The join is a 3-row broadcast.
+    d = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    s = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_cd"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_amed"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
     )
+    g = d.join(s, "l_returnflag")
     return g.select(
         "l_returnflag",
         "exact_orders",

@@ -28,6 +28,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources.tables import load_table
+from ._helpers import fan_out_grouped
 from .registry import query
 
 
@@ -95,18 +96,24 @@ FROM orders
 def q_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
-    def share(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype("int64")
-        total = cents.sum()
-        return pd.DataFrame(
-            {
-                "o_custkey": pdf["o_custkey"],
-                "o_orderkey": pdf["o_orderkey"],
-                "spend_share": cents.astype("float64") / float(total),
-            }
-        )
+    # Round-14 optimization (guide §4.1/§2.3): project to the three
+    # needed columns BEFORE the grouped-UDF exchange (applyInPandas is
+    # opaque to column pruning — unprojected, all 9 order columns cross
+    # the shuffle and the Arrow boundary), move the cents conversion
+    # into the JVM (codegen'd floor once per row instead of a numpy
+    # pass per group), and fan the grouped stage out explicitly
+    # (fan_out_grouped: AQE byte-based coalescing serialized ~100k
+    # per-group Python calls onto 2 tasks). Measured 17.2s -> 4.0s at
+    # sf0.1; results bit-identical (cents are exact int64 either way).
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    proj = orders.select("o_custkey", "o_orderkey", cents.alias("_cents"))
 
-    return orders.groupBy("o_custkey").applyInPandas(
+    def share(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["_cents"].to_numpy()
+        pdf["spend_share"] = c.astype("float64") / float(c.sum())
+        return pdf[["o_custkey", "o_orderkey", "spend_share"]]
+
+    return fan_out_grouped(proj, "o_custkey").groupBy("o_custkey").applyInPandas(
         share, "o_custkey long, o_orderkey long, spend_share double"
     )
 
@@ -160,19 +167,35 @@ def q_udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
 
+    # Round-14 optimization (guide §4.2/§2.3): the bounded-frame pandas
+    # UDAF is evaluated once per ROW (the Python worker slices each
+    # 3-row frame), so the body's cost multiplies by the row count —
+    # move the floor/astype cents conversion into the JVM (once per
+    # row, codegen) and leave the UDAF body a bare int64 Series sum.
+    # fan_out_grouped keeps the per-frame Python work on every core
+    # (AQE byte-coalescing had squeezed it to 3 tasks). Measured
+    # 28.0s -> 1.6s at sf0.1; bit-identical (exact int64 cents, same
+    # /100.0 double division in Python).
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
     @F.pandas_udf(DoubleType())
-    def cents_sum(price: pd.Series) -> float:
-        return float(int(np.floor(price * 100 + 0.5).astype("int64").sum())) / 100.0
+    def cents_sum(c: pd.Series) -> float:
+        return float(int(c.sum())) / 100.0
 
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
-    return orders.select(
+    return fan_out_grouped(
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderdate", cents.alias("_cents")
+        ),
+        "o_custkey",
+    ).select(
         "o_orderkey",
         "o_custkey",
-        cents_sum("o_totalprice").over(w).alias("moving_total"),
+        cents_sum("_cents").over(w).alias("moving_total"),
     )
 
 
