@@ -646,9 +646,26 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= NGRAM_MAX_DF)
         .drop("df")
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Round-14 (guide §5, §2.4): persist the filtered shingle relation —
+    # it is referenced FOUR times (self-join sides a and b, and the two
+    # size lookups via `sizes`), and without the cache the whole
+    # scan -> explode -> distinct -> repartition -> window subtree ran
+    # four times (plans/r14/q_ngram_jaccard_pairs_before.txt operators
+    # 1-12/13-24/31-42/49-60). The self-join is also pinned to
+    # sort-merge like the LSH rows: the planner saw a "small" estimated
+    # side and BROADCAST the corpus-scale shingle relation — wrong at
+    # every SF above toy, and it defeated the shared exchange the
+    # repartition above pins. Measured 2.79 s -> 0.68 s at sf0.1,
+    # identical output. At 100 TB the cache is the post-cap shingle
+    # relation (bounded fan-out, MEMORY_AND_DISK) replacing four full
+    # shuffled recomputations of it — same trade the LSH signature
+    # cache makes (round 8).
+    shingles = track_persist(shingles)
+    sizes = track_persist(
+        shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
     a = shingles.alias("a")
-    b = shingles.alias("b")
+    b = shingles.alias("b").hint("merge")
     common = (
         a.join(
             b,

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ._helpers import fan_out_small_scan
+from .lifecycle import track_persist
 from .registry import query
 
 N_PLANES = 8
@@ -159,28 +160,6 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ordered_dot() -> Column:
-    """Dimension-sorted fold of v * comp for a (vec, plane) group —
-    bit-deterministic under any partitioning, matching the oracle's
-    list_sum(list(... ORDER BY i)). Bounded per-key state: the list
-    length is the embedding dimension D (schema constant), not data
-    volume (round-8 skew audit)."""
-    return F.aggregate(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("i"),
-                    (F.col("v").cast("double") * F.col("comp")).alias(
-                        "t"
-                    ),
-                )
-            )
-        ),
-        F.lit(0.0),
-        lambda acc, s: acc + s["t"],
-    )
-
-
 # --------------------------------------------------------------------------
 # LSH bucketing: 8 deterministic md5-derived hyperplanes -> 256 buckets.
 # plane component in {-1, +1} from the low bit of a md5 hex nibble.
@@ -235,6 +214,19 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 row-local form (guide §2.4): the old shape exploded
+    every embedding per dimension (rows x 64), broadcast-joined the
+    per-(p, i) plane components, and shuffled (vec, p) groups through
+    an ordered-fold aggregate — a corpus x 64 explode plus a corpus x 8
+    exchange whose only purpose was an index-ordered dot product. The
+    oracle's round-8 list-kernel form is now mirrored on the Spark
+    side: pre-aggregate the 8 planes into one broadcast row of 64-dim
+    lists and evaluate every dot as a row-local index-ordered zip_with
+    fold — ((0+t1)+t2)+... exactly the oracle's list_sum(list_transform)
+    order, so the dot>0 bits are bit-identical. The bucket sum of
+    2^p terms is exact in double at any order. Map-only at every scale
+    (the histogram groupBy is the single remaining exchange); measured
+    1.36 s -> 0.68 s at sf0.1, identical output."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = (
         spark.range(N_PLANES)
@@ -242,25 +234,42 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(spark.range(1, 65).select(F.col("id").alias("i")))
         .select("p", "i", F.expr(_PLANE_COMP).alias("comp"))
     )
-    exploded = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
-    # Dimension-ordered fold, not SUM: float addition is order
-    # dependent, and a projection within ~1 ulp of 0 could otherwise
-    # land on different sides of the dot>0 bit per engine/run.
-    comps = (
-        exploded.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "p")
-        .agg(_ordered_dot().alias("dot"))
-    )
-    return comps.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(
-                0.0
-            )
+    pvs = (
+        planes.groupBy("p")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "comp"))),
+                lambda s: s["comp"],
+            ).alias("pv")
         )
-        .cast("long")
-        .alias("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "pv"))),
+                lambda s: s["pv"],
+            ).alias("pvs")
+        )
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dot_p(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("_v"), F.element_at("pvs", p + 1), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    bucket = None
+    for p in range(N_PLANES):
+        term = F.when(
+            dot_p(p) > 0, F.pow(F.lit(2.0), F.lit(float(p)))
+        ).otherwise(0.0)
+        bucket = term if bucket is None else bucket + term
+    return (
+        emb.select("vec_id", v.alias("_v"))
+        .crossJoin(F.broadcast(pvs))
+        .select("vec_id", bucket.cast("long").alias("bucket"))
     )
 
 
@@ -1471,15 +1480,27 @@ def ann_ivfpq_residual_topk(
     import pandas as pd
 
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
-    vecs = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    # Round-14 (guide §5): persist the parsed vector relation and the
+    # residual relation. This operator is a multi-action pipeline —
+    # k-means training, the PQ init collect, _PQ_ITERS training rounds,
+    # the encode pass and the cell lookup each launch their own job —
+    # and without the caches every one of them re-ran the
+    # scan -> cast-transform -> assign -> broadcast-join -> zip_with
+    # chain from the parquet file (rvecs rebuilt 5x, vecs 10+x).
+    # Measured 2.53 s -> 1.38 s at sf0.1, identical output. At scale
+    # both caches are corpus-rows x (64 doubles) — the same relation
+    # every IVF-PQ implementation keeps materialized while it trains.
+    vecs = track_persist(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     cents = _km_centroids(vecs)
     assign = _km_assign(vecs, cents)
     # Residuals: map-only elementwise subtraction against the broadcast
     # coarse codebook (bit-identical to the oracle's v[i] - c[i]).
-    rvecs = (
+    rvecs = track_persist(
         vecs.join(assign, "vec_id")
         .join(F.broadcast(cents), "k")
         .select(
