@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ._helpers import fan_out_small_scan, top_element_count
+from ._helpers import adjacent_grams, fan_out_small_scan, top_element_count
 from .lifecycle import track_persist
 from .registry import query
 
@@ -320,10 +320,9 @@ def build_training_pipeline(
     ws = F.split("text", " ")
     n = F.size(ws)
     top_frac = top_element_count(ws).cast("double") / n
-    bigrams = F.transform(
-        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
-        lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),
-    )
+    # Linear-time 2-gram build (round 14, _helpers.adjacent_grams): the
+    # transform/element_at form re-split the text once per bigram.
+    bigrams = adjacent_grams(ws, 2)
     dup2_frac = F.lit(1.0) - F.size(
         F.array_distinct(bigrams)
     ).cast("double") / (n - 1)

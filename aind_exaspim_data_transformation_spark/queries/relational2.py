@@ -161,18 +161,29 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # Round-14 (guide §2.3/§2.4): the HAVING aggregate already IS the
+    # answer — an order's total quantity is one value whether summed in
+    # the subquery or re-summed after the customer join (o_orderkey
+    # functionally determines c_custkey), so the old semi-join + second
+    # full lineitem pass + re-aggregation computed the same decimal a
+    # second time. Join the (tiny, filtered) per-order aggregate
+    # straight to orders/customer: one lineitem scan instead of two,
+    # no corpus-scale rows through the final join, one aggregation.
+    # Identical output proven by collect-compare (29294 rows at sf0.1)
+    # and oracle hash at 3 SFs; measured 1.07 s -> 0.71 s.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .where(F.col("q") > 150)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "o_orderkey")
-        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("q").cast("double").alias("total_qty"),
+        )
     )
 
 

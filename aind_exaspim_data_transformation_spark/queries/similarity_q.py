@@ -783,8 +783,16 @@ def ann_pq_topk(
     the floor, so production search must scale the shortlist with the
     corpus, not pin it."""
     # The numpy encode kernel below is CPU-bound per row; fan the scan
-    # out so every core gets an Arrow batch.
-    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    # out so every core gets an Arrow batch. track_persist (round 14,
+    # guide §5): this multi-action training pipeline reads the vector
+    # relation in every job — the init collect, one assign job per
+    # Lloyd round, and the final encode/query/rerank plan — so without
+    # the cache the scan + fan-out shuffle re-runs once per job (the
+    # same fix the ivfpq_residual pipeline got; unpersisted by
+    # lifecycle.managed_query in long-lived sessions).
+    emb = track_persist(
+        fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    )
 
     def subs(df: DataFrame, id_in: str, id_out: str, out: str) -> DataFrame:
         rows = df.select(*_pq_subvectors(id_in, out))

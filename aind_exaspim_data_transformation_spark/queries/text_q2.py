@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..sources.tables import load_table
-from ._helpers import fan_out_small_scan, top_element_count
+from ._helpers import adjacent_grams, fan_out_small_scan, top_element_count
 from .lifecycle import track_persist
 from .registry import query
 
@@ -102,16 +102,11 @@ def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n_words")
     ws = F.col("ws")
-    bigrams = F.transform(
-        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
-        lambda w, i: F.concat_ws(" ", w, F.element_at(ws, i + 2)),
-    )
-    trigrams = F.transform(
-        F.slice(ws, 1, F.greatest(n - 2, F.lit(0))),
-        lambda w, i: F.concat_ws(
-            " ", w, F.element_at(ws, i + 2), F.element_at(ws, i + 3)
-        ),
-    )
+    # Linear-time gram builds (round 14, _helpers.adjacent_grams): the
+    # transform/element_at form re-evaluates ws per element once
+    # CollapseProject inlines the split into this consumer.
+    bigrams = adjacent_grams(ws, 2)
+    trigrams = adjacent_grams(ws, 3)
     top_unigram = top_element_count(ws)
     grams = base.select(
         "doc_id",
@@ -302,19 +297,8 @@ def q_text_dup_5gram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_words()).alias("n_words"),
     )
     ws = F.col("ws")
-    g5 = F.array_distinct(
-        F.transform(
-            F.slice(ws, 1, F.greatest(F.col("n_words") - 4, F.lit(0))),
-            lambda w, i: F.concat_ws(
-                " ",
-                w,
-                F.element_at(ws, i + 2),
-                F.element_at(ws, i + 3),
-                F.element_at(ws, i + 4),
-                F.element_at(ws, i + 5),
-            ),
-        )
-    )
+    # Linear-time 5-gram build (round 14, _helpers.adjacent_grams).
+    g5 = F.array_distinct(adjacent_grams(ws, 5))
     # The exploded inverted index is persisted so the gram-count
     # aggregate and the join-back share one expansion pass (2
     # corpus-size scans -> 1). This function returns a lazy plan, so it

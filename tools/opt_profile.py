@@ -26,6 +26,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aind_exaspim_data_transformation_spark.queries import QUERIES  # noqa: E402
+from aind_exaspim_data_transformation_spark.queries.lifecycle import (  # noqa: E402
+    managed_query,
+)
 from aind_exaspim_data_transformation_spark.session import get_spark  # noqa: E402
 
 REPS = int(os.environ.get("OPT_REPS", "2"))
@@ -71,22 +74,31 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for i, name in enumerate(names):
-        fn = QUERIES[name]
         spark.sparkContext.setJobDescription(f"profile:{name}")
         try:
-            df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            t_warm0 = time.monotonic()
-            df.write.format("noop").mode("overwrite").save()
-            warm = time.monotonic() - t_warm0
-            runs = []
-            for _ in range(REPS):
-                df = fn(spark, sf_dir)
-                t0 = time.monotonic()
+            # managed_query scope: intermediates a query track_persists
+            # are unpersisted when its timing finishes — without this a
+            # 178-query sweep accumulates every cached relation in one
+            # JVM and later queries measure the resulting memory
+            # pressure, not their own plan (observed: isolated re-runs
+            # 2-7x faster than sweep numbers for late-registry rows).
+            with managed_query(spark, sf_dir, name) as df:
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                )
+                t_warm0 = time.monotonic()
                 df.write.format("noop").mode("overwrite").save()
-                runs.append(time.monotonic() - t0)
+                warm = time.monotonic() - t_warm0
+                runs = []
+                for _ in range(REPS):
+                    # Rebuild the plan per rep (bench.py semantics:
+                    # planning time counts). CacheManager dedupes the
+                    # identical persisted subplans; the scope's exit
+                    # unpersists them all.
+                    df_rep = QUERIES[name](spark, sf_dir)
+                    t0 = time.monotonic()
+                    df_rep.write.format("noop").mode("overwrite").save()
+                    runs.append(time.monotonic() - t0)
             stats = plan_stats(plan)
             stats["sec"] = round(min(runs), 3)
             stats["warm_sec"] = round(warm, 3)
