@@ -94,13 +94,19 @@ GROUP BY n_orders
 """,
 )
 def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-14: pre-aggregate orders per custkey before the outer join
+    # (same rewrite and rationale as q13_customer_distribution — the
+    # old form broadcast the raw orders fact table, the only buildable
+    # side for this orientation). coalesce(count, 0) == the
+    # null-ignoring COUNT(o_orderkey); identical results, oracle green.
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    per_ord = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
     )
+    per_cust = cust.join(
+        per_ord, cust.c_custkey == per_ord.o_custkey, "left"
+    ).select(F.coalesce("_n", F.lit(0)).alias("n_orders"))
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

@@ -42,17 +42,24 @@ def q13_customer_distribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders.
-    Left join keeps zero-order customers; COUNT(o_orderkey) ignores
-    the nulls they carry. Two hash aggregates, both map-side partial."""
+
+    Round-14 (guide §2.3/§3.1): aggregate orders per custkey BEFORE the
+    outer join. The join orientation only lets Spark broadcast the
+    orders side, and the old raw-rows form did exactly that
+    (`BroadcastHashJoin LeftOuter BuildRight` over the FACT table —
+    fine at bench estimates, impossible at scale). The per-custkey
+    count is |customer|-bounded, map-side partial, and
+    coalesce(count, 0) over the null-extended rows equals
+    COUNT(o_orderkey). Collect-compare identical; oracle green 3 SFs;
+    0.35 s -> 0.26 s at sf0.1."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey"
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_ord = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    per_cust = cust.join(
+        per_ord, cust.c_custkey == per_ord.o_custkey, "left"
+    ).select(F.coalesce("_n", F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
