@@ -417,20 +417,30 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile is partitioning-independent, results identical. The
     # remaining cost is the per-group map MERGE on the final aggregate,
     # which is inherently single-task per group (3 groups).
+    # Array-form percentile (round 14, same as q_approx_aggregates #10):
+    # ONE value-count map per group serves both percentiles instead of
+    # two identical maps. Identical doubles; 2.07 s -> 1.68 s at sf0.1.
     li = fan_out_small_scan(
         load_table(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_extendedprice", "l_quantity"
         )
     )
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-            "median_price"
-        ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
-            "p90_price"
-        ),
-        F.min("l_quantity").cast("double").alias("min_qty"),
-        F.max("l_quantity").cast("double").alias("max_qty"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("_p"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("median_price"),
+            F.round(F.col("_p")[1], 4).alias("p90_price"),
+            "min_qty",
+            "max_qty",
+        )
     )
 
 

@@ -379,13 +379,25 @@ GROUP BY l_returnflag
 """,
 )
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array-form percentile (round 14): one value-count map per group
+    # serves all three quartiles. Identical doubles.
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(q, F.lit(0.25)).alias("q25"),
-        F.percentile(q, F.lit(0.5)).alias("q50"),
-        F.percentile(q, F.lit(0.75)).alias("q75"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                q, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_p"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_p")[0].alias("q25"),
+            F.col("_p")[1].alias("q50"),
+            F.col("_p")[2].alias("q75"),
+            "n_rows",
+        )
     )
 
 
