@@ -467,11 +467,21 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    # Round-14 (guide §2.3, same as q_cube_flag_status #11): fold to
+    # the 25-row (region, nation) leaf groups BEFORE the ROLLUP Expand,
+    # then re-sum exact partials — the Expand's 3x row multiplication
+    # applies to 25 rows instead of the customer table. Bench-neutral
+    # (~0.25 s either way at sf0.1); the win is the design point.
+    # Collect-compare identical; oracle green.
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.count("c_custkey").alias("_n"),
+        F.sum(dec("c_acctbal")).alias("_q"),
+    )
     return (
-        joined.rollup("r_name", "n_name")
+        base.rollup("r_name", "n_name")
         .agg(
-            F.count("c_custkey").alias("n_customers"),
-            dsum("c_acctbal", "total_balance"),
+            F.sum("_n").alias("n_customers"),
+            F.sum("_q").cast("double").alias("total_balance"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
@@ -541,11 +551,33 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                         (o_orderstatus, o_orderpriority))
 """
 
+# Spark-side form (round 14, guide §2.3): fold orders to the ~15
+# (status, priority) leaf groups BEFORE the GROUPING SETS Expand, then
+# re-sum the exact decimal partials — the Expand's 3x multiplication
+# applies to 15 rows instead of the orders table. Same GROUPING SETS
+# surface through the same spark.sql entry; COUNT(*) == SUM of leaf
+# counts and the decimal sum re-sums exactly, so the output (schema
+# incl.) is identical — proven by collect-compare and the oracle hash,
+# which still runs the direct form above. 0.39 s -> 0.25 s at sf0.1.
+_GROUPING_SETS_SPARK_SQL = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS _n,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS _t
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       SUM(_n) AS n_orders,
+       CAST(CAST(SUM(_t) AS STRING) AS DOUBLE) AS total
+FROM base
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
 
 @query("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_GROUPING_SETS_SQL)
+    return spark.sql(_GROUPING_SETS_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------
