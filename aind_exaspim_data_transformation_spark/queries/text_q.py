@@ -157,16 +157,27 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang_cand")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("n_votes"), F.asc("lang_cand")
-    )
-    best = votes.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
+    # Round-14 (guide §2.3): argmax via min(struct) — a hash aggregate
+    # with map-side partials — instead of a ROW_NUMBER window, which
+    # SORTS the corpus-scale votes relation per partition. Same idiom
+    # the oracles already use for argmin (CLAUDE.md); lexicographic min
+    # of (-n_votes, lang_cand) == ORDER BY n_votes DESC, lang_cand.
+    # Identical rows; ~5% at bench SF, sort removed at any SF.
+    best = votes.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_votes")).alias("_neg"),
+                F.col("lang_cand"),
+                F.col("n_votes"),
+            )
+        ).alias("_b")
     )
     return docs.select("doc_id").join(best, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("lang_cand", F.lit("unknown")).alias("predicted_lang"),
-        F.coalesce("n_votes", F.lit(0)).alias("n_votes"),
+        F.coalesce(F.col("_b.lang_cand"), F.lit("unknown")).alias(
+            "predicted_lang"
+        ),
+        F.coalesce(F.col("_b.n_votes"), F.lit(0)).alias("n_votes"),
     )
 
 
