@@ -94,6 +94,49 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def image_features_pdf(
+    pdf: pd.DataFrame,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    format_col: str = "media_format",
+    thumb_size: int = 8,
+) -> pd.DataFrame:
+    """One batch of :func:`image_features` — the kernel is exposed
+    per-batch so composite queries can FUSE build -> features -> finish
+    into a single ``mapInPandas`` (one JVM<->Python Arrow crossing
+    instead of three; round 15, guide §4)."""
+    out = []
+    for row in pdf.itertuples(index=False):
+        img = decode_media(
+            getattr(row, payload_col), getattr(row, format_col)
+        )
+        means = img.reshape(-1, 3).mean(axis=0)
+        thumb = _resize_nearest(img, thumb_size, thumb_size)
+        out.append(
+            (
+                getattr(row, id_col),
+                img.shape[0],
+                img.shape[1],
+                float(means[0]),
+                float(means[1]),
+                float(means[2]),
+                thumb.tobytes(order="C"),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "item_id",
+            "height",
+            "width",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+            "thumb",
+        ],
+    )
+
+
 def image_features(
     df: DataFrame,
     id_col: str = "item_id",
@@ -106,35 +149,8 @@ def image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                img = decode_media(
-                    getattr(row, payload_col), getattr(row, format_col)
-                )
-                means = img.reshape(-1, 3).mean(axis=0)
-                thumb = _resize_nearest(img, thumb_size, thumb_size)
-                out.append(
-                    (
-                        getattr(row, id_col),
-                        img.shape[0],
-                        img.shape[1],
-                        float(means[0]),
-                        float(means[1]),
-                        float(means[2]),
-                        thumb.tobytes(order="C"),
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "item_id",
-                    "height",
-                    "width",
-                    "mean_r",
-                    "mean_g",
-                    "mean_b",
-                    "thumb",
-                ],
+            yield image_features_pdf(
+                pdf, id_col, payload_col, format_col, thumb_size
             )
 
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -155,33 +171,44 @@ def audio_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                wave = decode_media(
-                    getattr(row, payload_col), getattr(row, format_col)
-                ).astype(np.float64)
-                zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
-                out.append(
-                    (
-                        getattr(row, id_col),
-                        len(wave),
-                        float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0,
-                        int(np.abs(wave).max()) if len(wave) else 0,
-                        zc,
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "item_id",
-                    "n_samples",
-                    "rms",
-                    "peak",
-                    "zero_crossings",
-                ],
-            )
+            yield audio_features_pdf(pdf, id_col, payload_col, format_col)
 
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features_pdf(
+    pdf: pd.DataFrame,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    format_col: str = "media_format",
+) -> pd.DataFrame:
+    """One batch of :func:`audio_features` (fusable kernel, see
+    :func:`image_features_pdf`)."""
+    out = []
+    for row in pdf.itertuples(index=False):
+        wave = decode_media(
+            getattr(row, payload_col), getattr(row, format_col)
+        ).astype(np.float64)
+        zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+        out.append(
+            (
+                getattr(row, id_col),
+                len(wave),
+                float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0,
+                int(np.abs(wave).max()) if len(wave) else 0,
+                zc,
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "item_id",
+            "n_samples",
+            "rms",
+            "peak",
+            "zero_crossings",
+        ],
+    )
 
 
 def frame_sample(
@@ -197,25 +224,32 @@ def frame_sample(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                payload = getattr(row, payload_col)
-                h = int.from_bytes(payload[0:2], "little")
-                w = int.from_bytes(payload[2:4], "little")
-                frame_bytes = 4 + h * w * 3
-                n_frames = len(payload) // frame_bytes
-                for fi in range(0, n_frames, every_n):
-                    out.append(
-                        (
-                            getattr(row, id_col),
-                            fi,
-                            payload[
-                                fi * frame_bytes : (fi + 1) * frame_bytes
-                            ],
-                        )
-                    )
-            yield pd.DataFrame(
-                out, columns=["item_id", "frame_idx", "frame"]
-            )
+            yield frame_sample_pdf(pdf, every_n, id_col, payload_col)
 
     return df.mapInPandas(run, "item_id long, frame_idx int, frame binary")
+
+
+def frame_sample_pdf(
+    pdf: pd.DataFrame,
+    every_n: int,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> pd.DataFrame:
+    """One batch of :func:`frame_sample` (fusable kernel, see
+    :func:`image_features_pdf`)."""
+    out = []
+    for row in pdf.itertuples(index=False):
+        payload = getattr(row, payload_col)
+        h = int.from_bytes(payload[0:2], "little")
+        w = int.from_bytes(payload[2:4], "little")
+        frame_bytes = 4 + h * w * 3
+        n_frames = len(payload) // frame_bytes
+        for fi in range(0, n_frames, every_n):
+            out.append(
+                (
+                    getattr(row, id_col),
+                    fi,
+                    payload[fi * frame_bytes : (fi + 1) * frame_bytes],
+                )
+            )
+    return pd.DataFrame(out, columns=["item_id", "frame_idx", "frame"])

@@ -344,6 +344,16 @@ def build_training_pipeline(
         filtered = filtered.withColumn(
             counter_name, pack_counter(F.col("text"))
         )
+    # Round-15 examined and KEPT as a window (measured rejection): the
+    # min(struct(doc_id, ...)) hash-aggregate idiom that replaced the
+    # q_text_langid / q_dedup_by_key argmin windows was measured here
+    # and LOSES (~+8-10% in two 4-trial fresh-JVM ABBA runs, and in-JVM
+    # noop mins 3.26 s vs 2.76 s) — md5(text) groups are ~unique in
+    # this corpus, so map-side partial aggregation reduces nothing and
+    # pays a per-partition hash-table build over every surviving row,
+    # while the window's sort handles unique keys at the same shuffle
+    # volume. The idiom wins only where groups actually collapse
+    # (langid votes, (lang, source) buckets).
     w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
         filtered.withColumn("rn", F.row_number().over(w_dedup))

@@ -62,12 +62,21 @@ WHERE rn = 1
 """,
 )
 def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-15 (guide §2.3): keep-lowest-doc_id per key is an argmin —
+    # min(struct(doc_id, n_chars)) as a hash aggregate with map-side
+    # partials replaces the ROW_NUMBER window, whose exchange carried
+    # and then sorted EVERY document row. doc_id is unique, so the
+    # struct min is exactly the rn=1 row. Identical rows.
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang", "source").orderBy("doc_id")
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("lang", "source", "doc_id", "n_chars")
+        docs.groupBy("lang", "source")
+        .agg(F.min(F.struct("doc_id", "n_chars")).alias("_r"))
+        .select(
+            "lang",
+            "source",
+            F.col("_r.doc_id").alias("doc_id"),
+            F.col("_r.n_chars").alias("n_chars"),
+        )
     )
 
 

@@ -853,17 +853,26 @@ FROM s WHERE frame_idx % 2 = 0
 def q_multimodal_frame_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.multimodal import frame_sample
+    # Round-15 fuse (guide §4): build -> frame_sample -> stats ran as
+    # THREE chained mapInPandas nodes — every row crossed the
+    # JVM<->Python Arrow boundary three times, and the crossings (not
+    # the Python loops — measured in r14) dominated the query. The
+    # three stages are row-local, so they compose per batch inside ONE
+    # mapInPandas; the sampling math still runs through the real
+    # operator kernel (operators.multimodal.frame_sample_pdf — the same
+    # function frame_sample() wraps), so the oracle still gates the
+    # operator's stride/boundary arithmetic.
+    from ..operators.multimodal import frame_sample_pdf
 
     docs = _doc_ids(spark, sf_dir)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hdr = int(FRAME_H).to_bytes(2, "little") + int(
             FRAME_W
         ).to_bytes(2, "little")
         i_arr = np.arange(_FRAME_PIX, dtype=np.int64)
         for pdf in batches:
-            out = []
+            built = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 payload = b"".join(
@@ -873,18 +882,13 @@ def q_multimodal_frame_sample(
                     .tobytes()
                     for fi in range(3 + d % 5)
                 )
-                out.append((d, payload))
-            yield pd.DataFrame(out, columns=["item_id", "payload"])
-
-    frames = frame_sample(
-        docs.mapInPandas(build, "item_id long, payload binary"),
-        every_n=2,
-    )
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+                built.append((d, payload))
+            frames = frame_sample_pdf(
+                pd.DataFrame(built, columns=["item_id", "payload"]),
+                every_n=2,
+            )
             out = []
-            for row in pdf.itertuples(index=False):
+            for row in frames.itertuples(index=False):
                 pix = np.frombuffer(row.frame[4:], dtype=np.uint8)
                 out.append(
                     (row.item_id, row.frame_idx, int(pix.sum()))
@@ -893,8 +897,8 @@ def q_multimodal_frame_sample(
                 out, columns=["doc_id", "frame_idx", "pix_sum"]
             )
 
-    return frames.mapInPandas(
-        stats, "doc_id long, frame_idx int, pix_sum long"
+    return docs.mapInPandas(
+        fused, "doc_id long, frame_idx int, pix_sum long"
     )
 
 
@@ -941,19 +945,23 @@ GROUP BY px.doc_id
 def q_multimodal_image_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # Round-15 fuse (guide §4): three chained mapInPandas nodes -> one;
+    # the feature math still runs through the real operator kernel
+    # (image_features_pdf), so the oracle still gates decode plumbing,
+    # channel order, mean arithmetic, and resize indexing.
     from ..operators.multimodal import (
         FAKE_RGB8,
         encode_fake_rgb8,
-        image_features,
+        image_features_pdf,
     )
 
     docs = _doc_ids(spark, sf_dir)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr = np.arange(FEAT_H, dtype=np.int64)[:, None]
         cc = np.arange(FEAT_W, dtype=np.int64)[None, :]
         for pdf in batches:
-            out = []
+            built = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 img = np.stack(
@@ -964,22 +972,15 @@ def q_multimodal_image_features(
                     ],
                     axis=2,
                 ).astype(np.uint8)
-                out.append((d, encode_fake_rgb8(img), FAKE_RGB8))
-            yield pd.DataFrame(
-                out, columns=["item_id", "payload", "media_format"]
+                built.append((d, encode_fake_rgb8(img), FAKE_RGB8))
+            feats = image_features_pdf(
+                pd.DataFrame(
+                    built, columns=["item_id", "payload", "media_format"]
+                ),
+                thumb_size=FEAT_T,
             )
-
-    feats = image_features(
-        docs.mapInPandas(
-            build, "item_id long, payload binary, media_format string"
-        ),
-        thumb_size=FEAT_T,
-    )
-
-    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
             out = []
-            for row in pdf.itertuples(index=False):
+            for row in feats.itertuples(index=False):
                 tsum = int(
                     np.frombuffer(row.thumb, dtype=np.uint8)
                     .astype(np.int64)
@@ -999,8 +1000,8 @@ def q_multimodal_image_features(
                 ],
             )
 
-    return feats.mapInPandas(
-        finish,
+    return docs.mapInPandas(
+        fused,
         "doc_id long, height int, width int, mean_r double, "
         "mean_g double, mean_b double, thumb_sum long",
     )
@@ -1046,13 +1047,16 @@ GROUP BY p.doc_id, p.n
 def q_multimodal_audio_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.multimodal import FAKE_PCM16, audio_features
+    # Round-15 fuse (guide §4): build -> audio_features was two chained
+    # mapInPandas nodes; composed per batch through the operator kernel
+    # (audio_features_pdf) they cross the Arrow boundary once.
+    from ..operators.multimodal import FAKE_PCM16, audio_features_pdf
 
     docs = _doc_ids(spark, sf_dir)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            built = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n = AUD_BASE_N + d % AUD_N_MOD
@@ -1060,22 +1064,18 @@ def q_multimodal_audio_features(
                 wave = (((d * 13 + ii * 29) % 2001) - 1000).astype(
                     "<i2"
                 )
-                out.append((d, wave.tobytes(), FAKE_PCM16))
-            yield pd.DataFrame(
-                out, columns=["item_id", "payload", "media_format"]
+                built.append((d, wave.tobytes(), FAKE_PCM16))
+            feats = audio_features_pdf(
+                pd.DataFrame(
+                    built, columns=["item_id", "payload", "media_format"]
+                )
             )
+            yield feats.rename(columns={"item_id": "doc_id"})
 
-    feats = audio_features(
-        docs.mapInPandas(
-            build, "item_id long, payload binary, media_format string"
-        )
-    )
-    return feats.select(
-        F.col("item_id").alias("doc_id"),
-        "n_samples",
-        "rms",
-        "peak",
-        "zero_crossings",
+    return docs.mapInPandas(
+        fused,
+        "doc_id long, n_samples long, rms double, peak int, "
+        "zero_crossings long",
     )
 
 

@@ -238,15 +238,26 @@ def q_text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("word").alias("top_term"),
-            F.round("score", 10).alias("tfidf"),
-        )
+    # Round-15 (guide §2.3, r14's q_text_langid idiom): the ROW_NUMBER
+    # argmax sorted the corpus-scale scored relation per partition;
+    # lexicographic min(struct(-score, word, score)) is the same winner
+    # — negation exactly reverses double order (scores are >= 0 and
+    # never NaN, and equal scores negate to equal keys so the word
+    # tie-break is identical) — computed as a hash aggregate with
+    # map-side partials. Identical rows at 3 SFs.
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("ns"),
+                F.col("word").alias("word"),
+                F.col("score").alias("score"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("_b.word").alias("top_term"),
+        F.round("_b.score", 10).alias("tfidf"),
     )
 
 

@@ -136,11 +136,103 @@ FROM orders
 """,
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-15 scale-safe rewrite (guide §2). The declared result — for
+    # each order, COUNT(*) of orders with o_totalprice in
+    # [p - 1000.0, p + 1000.0] — was computed by a GLOBAL RANGE window:
+    # Exchange SinglePartition + one window task at any scale
+    # (plans/r15/q_window_range_frame_before.txt), the last single-task
+    # query path in the registry. Rewritten as a domain-bounded
+    # bucket-partitioned cumulative count:
+    #
+    #   1. Aggregate orders to per-price counts. o_totalprice carries
+    #      <= 2 decimals over a fixed domain (~[800, 800k] at ANY scale
+    #      factor — TPC-H prices are bounded by part price x max qty x
+    #      max lines), so this relation is bounded by the price DOMAIN,
+    #      not the row count.
+    #   2. Each distinct price p contributes its count to 1000-wide
+    #      buckets floor(p/1000) - 1 .. + 1 (every price within +/-1000
+    #      of a bucket-b price lies in those buckets), and emits two
+    #      zero-weight query points at p - 1000.0 and p + 1000.0 into
+    #      its own bucket.
+    #   3. One running-count window PARTITIONED BY BUCKET (~800 groups,
+    #      each bounded by the <= 100,001 distinct cent values per
+    #      bucket) gives, at each query point, the number of orders
+    #      with price strictly-below / at-or-below it; the difference
+    #      of the two cums is exactly the RANGE-frame count. The tie
+    #      column sequences equal sort keys: lower bound (0) before
+    #      data (1) so its cum EXCLUDES prices equal to p - 1000.0,
+    #      upper bound (2) after data so its cum INCLUDES p + 1000.0 —
+    #      the window frame's closed interval.
+    #
+    # The +/-1000.0 boundaries are computed with the same IEEE double
+    # add/subtract the window's RangeFrame used, so the kept set is
+    # bit-identical (proven by collect-compare + oracle hash at 3 SFs).
+    # Two column-pruned scans of orders replace the one wide scan; no
+    # single-partition exchange remains.
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
-    return orders.select(
-        "o_orderkey",
-        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    o = orders.select("o_orderkey", F.col("o_totalprice").alias("v"))
+    cnts = o.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    b = F.floor(F.col("v") / F.lit(1000.0)).cast("long")
+    zero_w = F.lit(0).cast("long")
+    no_p = F.lit(None).cast("double")
+
+    def _row(tb, sv, tie, w, p):
+        return F.struct(
+            tb.alias("tb"),
+            sv.alias("sv"),
+            tie.alias("tie"),
+            w.alias("w"),
+            p.alias("p"),
+        )
+
+    rows = cnts.select(
+        F.explode(
+            F.array(
+                _row(b - 1, F.col("v"), F.lit(1), F.col("c"), no_p),
+                _row(b, F.col("v"), F.lit(1), F.col("c"), no_p),
+                _row(b + 1, F.col("v"), F.lit(1), F.col("c"), no_p),
+                _row(
+                    b,
+                    F.col("v") + F.lit(1000.0),
+                    F.lit(2),
+                    zero_w,
+                    F.col("v"),
+                ),
+                _row(
+                    b,
+                    F.col("v") - F.lit(1000.0),
+                    F.lit(0),
+                    zero_w,
+                    F.col("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.tb", "e.sv", "e.tie", "e.w", "e.p")
+    w_cum = (
+        Window.partitionBy("tb")
+        .orderBy("sv", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Both query points of a price p live in bucket b_p, so grouping by
+    # (tb, p) — not p alone — lets the aggregate reuse the window's
+    # hash(tb) partitioning (no third exchange). The join back is
+    # domain-bounded on the build side: AQE broadcasts it at bench SF
+    # and falls back to a narrow-row shuffle join at real scale.
+    per_p = (
+        rows.withColumn("cum", F.sum("w").over(w_cum))
+        .where(F.col("tie") != 1)
+        .groupBy("tb", "p")
+        .agg(
+            F.sum(
+                F.when(F.col("tie") == 2, F.col("cum")).otherwise(
+                    -F.col("cum")
+                )
+            ).alias("n_similar_price")
+        )
+        .select("p", "n_similar_price")
+    )
+    return o.join(per_p, o.v == per_p.p).select(
+        "o_orderkey", "n_similar_price"
     )
 
 

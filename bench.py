@@ -72,6 +72,43 @@ HEADLINE = [
 
 CONVERSION_ROWS = ["tensor_to_zarr_4GB", "pyramid_compute_2GB"]
 
+# Round-15 (r14 verdict, Next #8): every query row sits at the 0.4-2 s
+# job-scheduling floor at sf0.1, where +/-20% is noise and 8-vs-32-core
+# ratios are ~1 — the bench could not resolve plan changes. This row is
+# the SAME q01 aggregation over lineitem fanned out 16x in-plan
+# (explode over a 16-literal array — recomputed from parquet every run,
+# nothing cached), giving a multi-second, CPU-bound aggregation whose
+# time tracks cores. ADDITION-ONLY: reported in `queries` but excluded
+# from `value`, so the headline stays comparable to r<=14.
+SCALE_PROBE_ROW = "q01_pricing_summary_x16"
+_SCALE_PROBE_FANOUT = 16
+
+
+def _scale_probe_df(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from aind_exaspim_data_transformation_spark.queries._helpers import (
+        davg,
+        dec,
+        dsum,
+    )
+    from aind_exaspim_data_transformation_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "rep",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_SCALE_PROBE_FANOUT)])
+        ),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus", "rep").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
 # JVM fan-out: 2 query JVMs x 3 interleaved reps = 6 timed samples per
 # query (vs the old 1 JVM x 5), plus 2 conversion JVMs x 2 reps.
 N_QUERY_JVMS = int(os.environ.get("BENCH_QUERY_JVMS", "2"))
@@ -176,12 +213,21 @@ def _child_queries(sf_dir: str, cpus: int, reps: int) -> dict:
         QUERIES[name](spark, sf_dir).collect()
         cold_total += time.monotonic() - t0
 
+    # Scale-probe row: one untimed cold pass, then timed with the same
+    # rep interleave (appended after the HEADLINE loop each rep so the
+    # r<=14 rows' measurement context is unchanged).
+    _scale_probe_df(spark, sf_dir).collect()
+
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples[SCALE_PROBE_ROW] = []
     for _ in range(reps):
         for name in HEADLINE:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).collect()
             samples[name].append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        _scale_probe_df(spark, sf_dir).collect()
+        samples[SCALE_PROBE_ROW].append(time.monotonic() - t0)
     spark.stop()
     return {"samples": samples, "cold_total": round(cold_total, 3), "env": env}
 
@@ -375,7 +421,9 @@ def main() -> None:
     medians: dict[str, float] = {}  # pooled median (diagnostic)
     spread: dict[str, list[float]] = {}
     iqr: dict[str, float] = {}
-    for name in HEADLINE:
+    # SCALE_PROBE_ROW is aggregated like a query row but, like the
+    # noise conversion row, EXCLUDED from `value` (see below).
+    for name in HEADLINE + [SCALE_PROBE_ROW]:
         pooled = [s for j in qjvms for s in j["samples"][name]]
         per_jvm_mins = [min(j["samples"][name]) for j in qjvms]
         timings[name] = round(min(per_jvm_mins), 3)
@@ -398,10 +446,11 @@ def main() -> None:
         spread[name] = [round(min(pooled), 3), round(max(pooled), 3)]
 
     # `value` stays the sum of the r<=13 row set so it compares across
-    # rounds; the realistic-entropy row is reported alongside, not
-    # summed in (round-13 verdict, Next #7).
-    value = round(sum(timings.values()), 3)
-    value_median = round(sum(medians.values()), 3)
+    # rounds; the realistic-entropy row (r14) and the scale-probe row
+    # (r15) are reported alongside, not summed in.
+    value_rows = HEADLINE + CONVERSION_ROWS
+    value = round(sum(timings[n] for n in value_rows), 3)
+    value_median = round(sum(medians[n] for n in value_rows), 3)
     conversion_gbps = round(
         cjvms[0]["conv_bytes"] / 1e9 / min(conv_pooled), 4
     )
@@ -496,6 +545,10 @@ def main() -> None:
             " tensor_to_zarr_4GB_noise (r14+) is reported in queries/"
             "conversion_noise_gbps but EXCLUDED from value so the"
             " headline remains comparable to earlier rounds."
+            " q01_pricing_summary_x16 (r15+) is a core-scaling probe —"
+            " the q01 aggregation over lineitem fanned 16x in-plan, the"
+            " only query row above the sf0.1 job floor — also reported"
+            " in queries but EXCLUDED from value."
         ),
     }
     with open(diag_path, "w", encoding="utf-8") as fh:

@@ -107,3 +107,42 @@ def test_run_query_public_entry_point(spark):
     )
     assert n > 0
     assert not (_rdd_ids(spark) - before)
+
+
+def test_python_worker_pool_recycle(spark):
+    """Round-15 (guide §5): the reused Python worker pool must be
+    boundable — recycle_python_workers stops every daemon (workers exit
+    with it via the daemon's process-group SIGHUP) and the next Python
+    task transparently respawns a fresh pool."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aind_exaspim_data_transformation_spark.queries.lifecycle import (
+        POOL_CEILING_MB,
+        python_worker_pool_stats,
+        recycle_python_workers,
+    )
+
+    @F.udf("long")
+    def bump(x):
+        return x + 1
+
+    df = spark.range(1000).select(F.sum(bump(F.col("id")))).collect()
+    assert df[0][0] == 500500
+    before = python_worker_pool_stats(spark)
+    assert before["n_processes"] >= 1  # daemon (+ workers) alive
+    recycle_python_workers(spark)
+    # Daemons get SIGTERM; give the group a moment to exit.
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        after = python_worker_pool_stats(spark)
+        if after["n_processes"] == 0:
+            break
+        time.sleep(0.2)
+    assert after["n_processes"] == 0, after
+    # The pool respawns transparently on the next Python task.
+    df2 = spark.range(10).select(F.sum(bump(F.col("id")))).collect()
+    assert df2[0][0] == 55
+    assert python_worker_pool_stats(spark)["n_processes"] >= 1
+    assert POOL_CEILING_MB > 0

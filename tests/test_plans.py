@@ -231,3 +231,31 @@ def test_training_pipeline_bpe32k_same_scan_shape(spark):
     post_cache = bpe.split("InMemoryRelation")[0]
     assert "ArrowEvalPython" in bpe
     assert "ArrowEvalPython" not in post_cache
+
+
+def test_range_frame_no_single_partition_window(spark):
+    # Round-15: the global RANGE window was the last single-task query
+    # path; the bucket rewrite must keep every Window/Sort partitioned.
+    plan = _plan(spark, "q_window_range_frame")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the running-count window, bucketed
+    # and the bucket aggregate reuses the window's hash(tb) exchange:
+    # exactly two shuffle exchanges (groupBy v, window tb) + broadcast.
+    tree = _tree(plan)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2
+
+
+def test_multimodal_fused_single_python_boundary(spark):
+    # Round-15 (guide §4): build -> operator -> stats compose per batch
+    # inside ONE mapInPandas; exactly one Python eval node per plan.
+    for name in (
+        "q_multimodal_frame_sample",
+        "q_multimodal_image_features",
+        "q_multimodal_audio_features",
+    ):
+        tree = _tree(_plan(spark, name))
+        n_py = sum(
+            tree.count(k)
+            for k in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+        )
+        assert n_py == 1, (name, tree)
