@@ -93,12 +93,16 @@ def managed_query(
 # forked worker exits with it — and the factory transparently spawns a
 # fresh daemon on the next Python task, so the recycle is invisible to
 # callers beyond one daemon start (~100 ms). The ceiling is a conf/env
-# dial (SPARK_GRAFT_PYWORKER_POOL_CEILING_MB, default 6144): healthy
-# pools on local[32] measure well under it, so recycling only fires
-# after genuinely bloating workloads.
+# dial (SPARK_GRAFT_PYWORKER_POOL_CEILING_MB, default 10240), calibrated
+# on local[32] (r15 churn measurement, OPTIMIZATION_r15.md): the healthy
+# floor is ~4.4 GB (32 reused workers x ~140 MB of numpy/pandas
+# imports), a fully-engaged two-factory pool (pickle + Arrow worker
+# modules) measures ~6.9 GB, and the r14 pathological state was 14 GB /
+# ~95 procs — 10 GB sits between "engaged" and "leaking". Deployments
+# with different cores-per-executor scale it via the env var.
 # --------------------------------------------------------------------------
 POOL_CEILING_MB = int(
-    os.environ.get("SPARK_GRAFT_PYWORKER_POOL_CEILING_MB", "6144")
+    os.environ.get("SPARK_GRAFT_PYWORKER_POOL_CEILING_MB", "10240")
 )
 
 

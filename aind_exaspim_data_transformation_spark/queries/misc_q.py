@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._helpers import exact_percentiles_two_level
 from .registry import query
 
 
@@ -293,13 +294,22 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_cd"),
     )
+    # Round-15 (guide §2.3/§5): the exact percentile pair now runs as
+    # the two-level histogram plan (_helpers.exact_percentiles_two_level
+    # — bit-identical doubles, proven by repr-compare at sf0.1/sf10):
+    # the single-task per-group value-count map MERGE was the residual
+    # floor r14 documented (52.1 s at sf10, and it OOMs an 8g driver
+    # under repetition there); the histogram form runs in 24.6 s. Costs
+    # one extra column-pruned (flag, price) scan next to the
+    # percentile_approx aggregate — measured cheaper than the map merge
+    # from sf0.1 up.
     s = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_amed"),
-        F.expr("percentile(l_extendedprice, array(0.45D, 0.55D))").alias(
-            "_p"
-        ),
     )
-    g = d.join(s, "l_returnflag")
+    pexact = exact_percentiles_two_level(
+        li, ["l_returnflag"], "l_extendedprice", [0.45, 0.55], "_p"
+    )
+    g = d.join(s, "l_returnflag").join(pexact, "l_returnflag")
     return g.select(
         "l_returnflag",
         "exact_orders",

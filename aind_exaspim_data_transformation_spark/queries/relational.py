@@ -24,6 +24,7 @@ from ._helpers import (
     charge,
     davg,
     dec,
+    exact_percentiles_two_level,
     disc_price,
     dsum,
     fan_out_small_scan,
@@ -420,27 +421,35 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Array-form percentile (round 14, same as q_approx_aggregates #10):
     # ONE value-count map per group serves both percentiles instead of
     # two identical maps. Identical doubles; 2.07 s -> 1.68 s at sf0.1.
-    li = fan_out_small_scan(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_extendedprice", "l_quantity"
-        )
+    # Round-15 (guide §2.3/§5): percentiles now run as the two-level
+    # histogram plan (_helpers.exact_percentiles_two_level) — the
+    # per-group value-count map MERGE this comment block documented as
+    # the inherent single-task floor is gone (sf10 on the same measure:
+    # 52.1 s -> 24.6 s, and the map form OOMs an 8g driver under
+    # repetition there). min/max ride a separate cheap codegen
+    # aggregate joined on the 3-row key. Doubles bit-identical
+    # (repr-compare + oracle hash at 3 SFs).
+    li = load_table(spark, sf_dir, "lineitem")
+    # min/max are cheap codegen partials — no fan-out needed; only the
+    # histogram branch (CPU-bound partials at bench scan-task counts)
+    # keeps the fan_out_small_scan (no-op at real scale).
+    mm = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile(
-                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))
-            ).alias("_p"),
-            F.min("l_quantity").cast("double").alias("min_qty"),
-            F.max("l_quantity").cast("double").alias("max_qty"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("_p")[0], 4).alias("median_price"),
-            F.round(F.col("_p")[1], 4).alias("p90_price"),
-            "min_qty",
-            "max_qty",
-        )
+    pct = exact_percentiles_two_level(
+        fan_out_small_scan(li.select("l_returnflag", "l_extendedprice")),
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5, 0.9],
+        "_p",
+    )
+    return mm.join(pct, "l_returnflag").select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 4).alias("median_price"),
+        F.round(F.col("_p")[1], 4).alias("p90_price"),
+        "min_qty",
+        "max_qty",
     )
 
 
