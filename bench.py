@@ -75,13 +75,15 @@ CONVERSION_ROWS = ["tensor_to_zarr_4GB", "pyramid_compute_2GB"]
 # Round-15 (r14 verdict, Next #8): every query row sits at the 0.4-2 s
 # job-scheduling floor at sf0.1, where +/-20% is noise and 8-vs-32-core
 # ratios are ~1 — the bench could not resolve plan changes. This row is
-# the SAME q01 aggregation over lineitem fanned out 16x in-plan
-# (explode over a 16-literal array — recomputed from parquet every run,
+# the SAME q01 aggregation over lineitem fanned out 64x in-plan
+# (explode over a 64-literal array — recomputed from parquet every run,
 # nothing cached), giving a multi-second, CPU-bound aggregation whose
-# time tracks cores. ADDITION-ONLY: reported in `queries` but excluded
-# from `value`, so the headline stays comparable to r<=14.
-SCALE_PROBE_ROW = "q01_pricing_summary_x16"
-_SCALE_PROBE_FANOUT = 16
+# time tracks cores (measured 3.5 s at 32 cores vs 9.8 s at 8, ratio
+# ~2.7 where every legacy row reads ~1.0). ADDITION-ONLY: reported in
+# `queries` but excluded from `value`, so the headline stays comparable
+# to r<=14.
+SCALE_PROBE_ROW = "q01_pricing_summary_x64"
+_SCALE_PROBE_FANOUT = 64
 
 
 def _scale_probe_df(spark, sf_dir: str):
@@ -91,12 +93,26 @@ def _scale_probe_df(spark, sf_dir: str):
         davg,
         dec,
         dsum,
+        fan_out_small_scan,
     )
     from aind_exaspim_data_transformation_spark.sources.tables import (
         load_table,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
+    # fan_out_small_scan BEFORE the explode: lineitem.parquet at bench
+    # SF plans only 3 scan tasks (row-group bound), which would pin the
+    # fanned CPU work to 3 cores and erase exactly the core-scaling
+    # signal this row exists to measure (first clean-host run without
+    # it: 12.48 s at 32 cores vs 12.28 s at 8). No-op at real scale.
+    li = fan_out_small_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    ).withColumn(
         "rep",
         F.explode(
             F.array(*[F.lit(i) for i in range(_SCALE_PROBE_FANOUT)])
@@ -545,7 +561,7 @@ def main() -> None:
             " tensor_to_zarr_4GB_noise (r14+) is reported in queries/"
             "conversion_noise_gbps but EXCLUDED from value so the"
             " headline remains comparable to earlier rounds."
-            " q01_pricing_summary_x16 (r15+) is a core-scaling probe —"
+            " q01_pricing_summary_x64 (r15+) is a core-scaling probe —"
             " the q01 aggregation over lineitem fanned 16x in-plan, the"
             " only query row above the sf0.1 job floor — also reported"
             " in queries but EXCLUDED from value."

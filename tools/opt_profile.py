@@ -61,7 +61,7 @@ def main() -> None:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("OPT_PLANS_TAG", "r15"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
