@@ -215,9 +215,12 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Both query points of a price p live in bucket b_p, so grouping by
     # (tb, p) — not p alone — lets the aggregate reuse the window's
-    # hash(tb) partitioning (no third exchange). The join back is
-    # domain-bounded on the build side: AQE broadcasts it at bench SF
-    # and falls back to a narrow-row shuffle join at real scale.
+    # hash(tb) partitioning (no third exchange). The join back
+    # broadcasts the per-price relation (verified in the sf10 final
+    # plan, 13M rows): safe at ANY data scale because the build side is
+    # bounded by the PRICE DOMAIN, not the row count — <= ~8e7 distinct
+    # cent values x 16 B ~= 1.3 GB absolute worst case, inside Spark's
+    # 8 GB / 512M-row broadcast caps.
     per_p = (
         rows.withColumn("cum", F.sum("w").over(w_cum))
         .where(F.col("tie") != 1)
